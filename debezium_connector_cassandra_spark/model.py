@@ -1,0 +1,184 @@
+"""Data model: transcript rows, mutation-log rows, change envelopes.
+
+Reference analogs (SURVEY §1):
+- cell struct {value, deletion_ts, set} — reference ``CassandraSchemaFactory.java:299-314``
+- envelope {ts_ms, op, source, after}  — reference ``Record.java:21-90``
+- source struct                         — reference ``SourceInfo.java:22-46``
+- offset (segment_id, position)         — reference ``OffsetPosition.java:19-57``
+- range bound {method, turn_idx}        — reference ``CassandraSchemaFactory.java:347-423``
+
+The payload is the BASELINE.json ``input_hint`` transcript table:
+(conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp), primary key (conv_id, turn_idx) with conv_id the partition key
+and turn_idx the clustering key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# op codes — reference Record.java:35-55 (i/u/d/r); we split the reference's
+# partition-delete case (Cassandra4CommitLogReadHandlerImpl.java:352-398) into
+# its own code 'p', and keep 'r' for range tombstones.
+# ---------------------------------------------------------------------------
+OP_INSERT = "i"
+OP_UPDATE = "u"
+OP_ROW_DELETE = "d"
+OP_PARTITION_DELETE = "p"
+OP_RANGE_TOMBSTONE = "r"
+UPSERT_OPS = (OP_INSERT, OP_UPDATE)
+TOMBSTONE_OPS = (OP_ROW_DELETE, OP_PARTITION_DELETE, OP_RANGE_TOMBSTONE)
+
+# Regular (non-key) columns of the transcript payload and their Spark types.
+REGULAR_COLUMNS: dict[str, T.DataType] = {
+    "role": T.StringType(),
+    "text": T.StringType(),
+    "tool": T.StringType(),
+    "ts": T.TimestampType(),
+}
+KEY_COLUMNS = ("conv_id", "turn_idx")
+PARTITION_KEY = "conv_id"
+CLUSTERING_KEY = "turn_idx"
+
+# Range-tombstone bound kinds — reference RangeTombstoneBoundMarker handling,
+# Cassandra4CommitLogReadHandlerImpl.java:461-511.
+INCL_START = "INCL_START_BOUND"
+EXCL_START = "EXCL_START_BOUND"
+INCL_END = "INCL_END_BOUND"
+EXCL_END = "EXCL_END_BOUND"
+
+
+def cell_type(value_type: T.DataType) -> T.StructType:
+    """Cell struct — {value, deletion_ts, set}.
+
+    ``set=false``  -> column not present in the mutation (sparse UPDATE,
+                      reference populateRegularColumns:548-574)
+    ``deletion_ts``-> cell tombstone / TTL expiry in epoch micros (reference
+                      populateRegularColumns:575-588 & SnapshotProcessor TTL
+                      math :342-344); a set cell with deletion_ts behaves as a
+                      null assignment at the event writetime.
+    """
+    return T.StructType(
+        [
+            T.StructField("value", value_type, True),
+            T.StructField("deletion_ts", T.LongType(), True),
+            T.StructField("set", T.BooleanType(), False),
+        ]
+    )
+
+
+CELLS_TYPE = T.StructType(
+    [T.StructField(name, cell_type(dtype), True) for name, dtype in REGULAR_COLUMNS.items()]
+)
+
+RANGE_BOUND_TYPE = T.StructType(
+    [
+        T.StructField("method", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# F2 mutation_log — the synthetic commit-log analog. One row per mutation,
+# totally ordered by (segment_id, position) like the reference's
+# OffsetPosition; partitioned on disk by segment_id (one directory per
+# CommitLog-<v>-<id>.log analog).
+# ---------------------------------------------------------------------------
+MUTATION_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("position", T.LongType(), False),
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("writetime", T.LongType(), False),
+        T.StructField("cells", CELLS_TYPE, True),
+        T.StructField("range_start", RANGE_BOUND_TYPE, True),
+        T.StructField("range_end", RANGE_BOUND_TYPE, True),
+        T.StructField("schema_version", T.IntegerType(), False),
+        T.StructField("snapshot", T.BooleanType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Change envelope — reference Record.buildValue (Record.java:80-90):
+# {ts_ms, op, source, after}; key = (conv_id, turn_idx).
+# ---------------------------------------------------------------------------
+SOURCE_TYPE = T.StructType(
+    [
+        T.StructField("cluster", T.StringType(), True),
+        T.StructField("file", T.StringType(), True),
+        T.StructField("pos", T.LongType(), True),
+        T.StructField("keyspace", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("snapshot", T.BooleanType(), True),
+        T.StructField("ts_micro", T.LongType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Materialized target table (lake). Alongside the payload columns the engine
+# keeps reconciliation metadata, because Cassandra semantics are cell-level
+# last-writer-wins (reference reconciliation via per-cell timestamps;
+# envelope event-time rules Cassandra4CommitLogReadHandlerImpl.java:429):
+#   _live_wt  liveness writetime: max writetime of INSERT ops (primary-key
+#             liveness, reference RowType predicates :226-236)
+#   _cell_wt  per-column writetime of the winning cell
+# A row is visible while (liveness survives) OR (any cell survives); a
+# tombstone at writetime W kills cells/liveness with writetime <= W
+# (delete wins ties — Cassandra reconciliation rule).
+# ---------------------------------------------------------------------------
+CELL_WT_TYPE = T.StructType(
+    [T.StructField(name, T.LongType(), True) for name in REGULAR_COLUMNS]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        *[T.StructField(n, t, True) for n, t in REGULAR_COLUMNS.items()],
+        T.StructField("_live_wt", T.LongType(), True),
+        T.StructField("_cell_wt", CELL_WT_TYPE, True),
+    ]
+)
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        *[T.StructField(n, t, True) for n, t in REGULAR_COLUMNS.items()],
+    ]
+)
+
+# Bookkeeping tables (FIXTURES F6)
+OFFSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("position", T.LongType(), False),
+        T.StructField("updated_at", T.LongType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),  # done | error | reprocess
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("segment_lo", T.LongType(), False),
+        T.StructField("segment_hi", T.LongType(), False),
+        T.StructField("n_decoded", T.LongType(), False),
+        T.StructField("n_deduped", T.LongType(), False),
+        T.StructField("n_applied", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)

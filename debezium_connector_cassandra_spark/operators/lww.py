@@ -1,0 +1,163 @@
+"""R6 — last-writer-wins reduction and state merge (the apply heart).
+
+The reference never materializes state itself — it guarantees per-key ordered
+delivery (hash-routed queues, ``getPartitionQueueIndex:672-685``) and lets
+downstream consumers fold events. Final-state semantics are Cassandra's:
+cell-level last-writer-wins on writetime, delete wins ties, sparse updates
+touch only their cells, INSERT sets primary-key liveness
+(RowType predicates ``:226-236``).
+
+Spark formulation (order-insensitive, hence segment-parallel):
+
+1. ``reduce_upserts``  — one hash aggregation per batch key:
+   for each payload column take the cell from the upsert with max
+   (writetime, segment_id, position) among those that SET the column
+   (``max(when(set, struct(wt, seg, pos, value, deletion_ts)))`` — struct max
+   ignores nulls and orders lexicographically, so this is an O(1)-state
+   aggregate with map-side partial combine; a hot conv_id collapses on the
+   map side before the shuffle, which is exactly the salted-partial /
+   final-reduce two-phase shape the skew note in SURVEY §4 calls for,
+   provided free by Spark's partial aggregation).
+2. ``finalize_state`` — compare each winning cell / liveness against the max
+   applicable tombstone writetime (strict >: delete wins ties) and null out
+   the losers; drop rows with nothing left.
+3. ``merge_states``   — full-outer merge of two state relations (target ⨝
+   batch) picking, per column, the side with the higher cell writetime.
+
+A cell whose winning write carries ``deletion_ts`` (TTL expiry / cell
+tombstone, reference populateRegularColumns:575-588) survives as an explicit
+null assignment: its writetime is kept so it still beats older values from
+other batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..model import REGULAR_COLUMNS
+
+NEG_INF = -(1 << 62)
+
+
+def _winner(col: str) -> F.Column:
+    """Aggregate: the winning cell for one payload column."""
+    c = F.col("cells")[col]
+    return F.max(
+        F.when(
+            c["set"],
+            F.struct(
+                F.col("writetime").alias("wt"),
+                F.col("segment_id").alias("seg"),
+                F.col("position").alias("pos"),
+                c["value"].alias("value"),
+                c["deletion_ts"].alias("deletion_ts"),
+            ),
+        )
+    ).alias(f"_w_{col}")
+
+
+def reduce_upserts(batch: DataFrame) -> DataFrame:
+    """Per-key cell-LWW reduction of a decoded batch's INSERT/UPDATE rows.
+
+    Returns one row per (conv_id, turn_idx) with columns
+    ``_w_<col>: struct<wt, seg, pos, value, deletion_ts>`` (NULL when no
+    upsert in the batch set that column) and ``_live_wt`` (max INSERT
+    writetime — NULL when the batch only UPDATEs the key).
+    """
+    ups = batch.where(F.col("op").isin("i", "u"))
+    aggs = [_winner(c) for c in REGULAR_COLUMNS]
+    aggs.append(F.max(F.when(F.col("op") == "i", F.col("writetime"))).alias("_live_wt"))
+    return ups.groupBy("conv_id", "turn_idx").agg(*aggs)
+
+
+def finalize_state(reduced_with_tomb: DataFrame) -> DataFrame:
+    """Apply ``tomb_wt`` (max applicable tombstone writetime, NULL = none)
+    to a reduced relation, producing STATE_SCHEMA rows.
+
+    Survival rule: writetime strictly greater than tomb_wt (delete wins
+    ties). A surviving cell with deletion_ts is a null assignment whose
+    writetime is retained.
+    """
+    tomb = F.coalesce(F.col("tomb_wt"), F.lit(NEG_INF))
+    cols = []
+    cell_wts = []
+    alive_any = F.lit(False)
+    for c in REGULAR_COLUMNS:
+        w = F.col(f"_w_{c}")
+        alive = w.isNotNull() & (w["wt"] > tomb)
+        value = F.when(alive & w["deletion_ts"].isNull(), w["value"])
+        cell_wt = F.when(alive, w["wt"])
+        cols.append(value.alias(c))
+        cell_wts.append(cell_wt.alias(c))
+        alive_any = alive_any | alive
+    live_wt = F.when(F.col("_live_wt") > tomb, F.col("_live_wt"))
+    out = reduced_with_tomb.select(
+        "conv_id",
+        "turn_idx",
+        *cols,
+        live_wt.alias("_live_wt"),
+        F.struct(*cell_wts).alias("_cell_wt"),
+        (alive_any | live_wt.isNotNull()).alias("_visible"),
+    )
+    return out.where(F.col("_visible")).drop("_visible")
+
+
+def kill_state(state: DataFrame) -> DataFrame:
+    """Apply ``tomb_wt`` to an already-materialized STATE relation (the
+    target side of a merge): null out cells/liveness with writetime <=
+    tomb_wt, drop rows with nothing left."""
+    tomb = F.coalesce(F.col("tomb_wt"), F.lit(NEG_INF))
+    cols = []
+    cell_wts = []
+    alive_any = F.lit(False)
+    for c in REGULAR_COLUMNS:
+        w = F.col("_cell_wt")[c]
+        alive = w.isNotNull() & (w > tomb)
+        cols.append(F.when(alive, F.col(c)).alias(c))
+        cell_wts.append(F.when(alive, w).alias(c))
+        alive_any = alive_any | alive
+    live_wt = F.when(F.col("_live_wt") > tomb, F.col("_live_wt"))
+    out = state.select(
+        "conv_id",
+        "turn_idx",
+        *cols,
+        live_wt.alias("_live_wt"),
+        F.struct(*cell_wts).alias("_cell_wt"),
+        (alive_any | live_wt.isNotNull()).alias("_visible"),
+    )
+    return out.where(F.col("_visible")).drop("_visible")
+
+
+def merge_states(target: DataFrame, batch: DataFrame) -> DataFrame:
+    """Full-outer cell-level merge of two STATE relations on the primary key.
+
+    Per column the side with the strictly higher cell writetime wins; equal
+    writetimes cannot occur across batches (writetimes are unique per event;
+    replays present identical values so either side is correct — the batch
+    side is chosen deterministically via >=, keeping re-application
+    idempotent)."""
+    t = target.alias("t")
+    b = batch.alias("b")
+    joined = t.join(b, ["conv_id", "turn_idx"], "full_outer")
+
+    cols = []
+    cell_wts = []
+    for c in REGULAR_COLUMNS:
+        twt = F.coalesce(F.col("t._cell_wt")[c], F.lit(NEG_INF))
+        bwt = F.coalesce(F.col("b._cell_wt")[c], F.lit(NEG_INF))
+        b_wins = bwt >= twt
+        cols.append(F.when(b_wins, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
+        cell_wts.append(
+            F.when(b_wins, F.col("b._cell_wt")[c]).otherwise(F.col("t._cell_wt")[c]).alias(c)
+        )
+    live_wt = F.greatest(
+        F.coalesce(F.col("t._live_wt"), F.lit(None)),
+        F.coalesce(F.col("b._live_wt"), F.lit(None)),
+    )
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        *cols,
+        live_wt.alias("_live_wt"),
+        F.struct(*cell_wts).alias("_cell_wt"),
+    )

@@ -1,0 +1,164 @@
+"""Tombstone relations and their application — D8/D9 + the delete half of R6.
+
+Cassandra reconciliation rules the engine reproduces (reference encodes them
+via deletion_ts cells ``populateRegularColumns:575-588``, partition deletes
+``handlePartitionDeletion:363-393``, range markers
+``handleRangeTombstoneBoundMarker:461-498``, and event-time rules
+``handleRowModifications:429``):
+
+- a tombstone at writetime W kills cells / row-liveness with writetime <= W
+  (**delete wins ties**);
+- a row delete (op 'd') targets one (conv_id, turn_idx);
+- a partition delete (op 'p') targets every turn of a conv_id;
+- a range tombstone (op 'r') targets turns within [start, end] with
+  inclusive/exclusive bound methods.
+
+Set-oriented formulation: instead of replaying deletes in order, compute for
+every candidate key the **max applicable tombstone writetime** and compare
+once. This is what makes replay order-insensitive and lets segments process
+in parallel (SURVEY §4 "key semantic transform").
+
+Scale notes: tombstones are a small fraction of the stream and are
+pre-aggregated (per key / per conv) before joining, so AQE turns these joins
+into broadcasts at runtime; the range join is an equi-join on conv_id with a
+residual bound predicate — never a cartesian product.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class TombstoneSet:
+    """The three tombstone relations extracted from a decoded batch.
+
+    A member may be None when it is statically known empty (metadata-level
+    knowledge — lets the planner skip the join entirely)."""
+
+    row: DataFrame | None        # (conv_id, turn_idx, wt)   op='d', pre-agg max wt
+    partition: DataFrame | None  # (conv_id, wt)             op='p', pre-agg max wt
+    range: DataFrame | None      # (conv_id, lo, hi, lo_incl, hi_incl, wt)  op='r'
+
+    def prune(self, kind_counts: dict) -> "TombstoneSet":
+        """Null out relations a per-kind count proved empty."""
+        return TombstoneSet(
+            row=self.row if kind_counts.get("d") else None,
+            partition=self.partition if kind_counts.get("p") else None,
+            range=self.range if kind_counts.get("r") else None,
+        )
+
+
+def extract_tombstones(batch: DataFrame) -> TombstoneSet:
+    row = (
+        batch.where(F.col("op") == "d")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max("writetime").alias("wt"))
+    )
+    partition = (
+        batch.where(F.col("op") == "p")
+        .groupBy("conv_id")
+        .agg(F.max("writetime").alias("wt"))
+    )
+    rng = (
+        batch.where(F.col("op") == "r")
+        .select(
+            "conv_id",
+            F.col("range_start.turn_idx").alias("lo"),
+            F.col("range_end.turn_idx").alias("hi"),
+            (F.col("range_start.method") == "INCL_START_BOUND").alias("lo_incl"),
+            (F.col("range_end.method") == "INCL_END_BOUND").alias("hi_incl"),
+            F.col("writetime").alias("wt"),
+        )
+    )
+    return TombstoneSet(row=row, partition=partition, range=rng)
+
+
+def union_tombstones(a: TombstoneSet, b: TombstoneSet) -> TombstoneSet:
+    return TombstoneSet(
+        row=a.row.unionByName(b.row).groupBy("conv_id", "turn_idx").agg(F.max("wt").alias("wt")),
+        partition=a.partition.unionByName(b.partition).groupBy("conv_id").agg(F.max("wt").alias("wt")),
+        range=a.range.unionByName(b.range),
+    )
+
+
+def range_covers(lo, hi, lo_incl, hi_incl, turn) -> "F.Column":
+    """Bound predicate with inclusivity methods (reference RangeData bound
+    kinds, CassandraSchemaFactory.java:347-423)."""
+    above = F.when(lo_incl, turn >= lo).otherwise(turn > lo)
+    below = F.when(hi_incl, turn <= hi).otherwise(turn < hi)
+    return above & below
+
+
+def tomb_wt_for_keys(keys: DataFrame, tombs: TombstoneSet) -> DataFrame:
+    """For a (conv_id, turn_idx) key relation, compute max applicable
+    tombstone writetime as column ``tomb_wt`` (NULL when none applies).
+
+    ``keys`` may carry arbitrary extra columns; they are preserved.
+    Up to three left joins, each against a pre-aggregated (hence small,
+    AQE-broadcastable) tombstone relation; the range join is equi on conv_id
+    with a residual bound filter — never a cartesian. Relations known empty
+    (None) cost nothing.
+    """
+    out = keys
+    wt_cols = []
+    if tombs.row is not None:
+        out = out.join(tombs.row.withColumnRenamed("wt", "d_wt"), ["conv_id", "turn_idx"], "left")
+        wt_cols.append("d_wt")
+    if tombs.partition is not None:
+        out = out.join(tombs.partition.withColumnRenamed("wt", "p_wt"), ["conv_id"], "left")
+        wt_cols.append("p_wt")
+    if tombs.range is not None:
+        r_applicable = (
+            keys.select("conv_id", "turn_idx").dropDuplicates()
+            .join(tombs.range, "conv_id")
+            .where(range_covers(F.col("lo"), F.col("hi"), F.col("lo_incl"), F.col("hi_incl"), F.col("turn_idx")))
+            .groupBy("conv_id", "turn_idx")
+            .agg(F.max("wt").alias("r_wt"))
+        )
+        out = out.join(r_applicable, ["conv_id", "turn_idx"], "left")
+        wt_cols.append("r_wt")
+
+    if not wt_cols:
+        tomb = F.lit(None).cast("long")
+    elif len(wt_cols) == 1:
+        tomb = F.col(wt_cols[0])
+    else:
+        tomb = F.greatest(*[F.col(c) for c in wt_cols])
+    return out.withColumn("tomb_wt", tomb).drop(*wt_cols)
+
+
+def tombstones_to_rows(tombs: TombstoneSet) -> DataFrame:
+    """Flatten a TombstoneSet to a single storable relation (the persistent
+    tombstone store — Cassandra's analog of tombstones retained until
+    gc_grace, needed so an out-of-order upsert arriving in a *later* batch
+    still loses to an earlier-seen delete with a higher writetime)."""
+    d = tombs.row.select(
+        F.lit("d").alias("kind"), "conv_id",
+        F.col("turn_idx").alias("lo"), F.col("turn_idx").alias("hi"),
+        F.lit(True).alias("lo_incl"), F.lit(True).alias("hi_incl"), "wt",
+    )
+    p = tombs.partition.select(
+        F.lit("p").alias("kind"), "conv_id",
+        F.lit(None).cast("int").alias("lo"), F.lit(None).cast("int").alias("hi"),
+        F.lit(True).alias("lo_incl"), F.lit(True).alias("hi_incl"), "wt",
+    )
+    r = tombs.range.select(
+        F.lit("r").alias("kind"), "conv_id", "lo", "hi", "lo_incl", "hi_incl", "wt"
+    )
+    return d.unionByName(p).unionByName(r)
+
+
+def rows_to_tombstones(df: DataFrame) -> TombstoneSet:
+    """Inverse of tombstones_to_rows (reading the persistent store)."""
+    return TombstoneSet(
+        row=(
+            df.where(F.col("kind") == "d")
+            .groupBy("conv_id", F.col("lo").alias("turn_idx"))
+            .agg(F.max("wt").alias("wt"))
+        ),
+        partition=df.where(F.col("kind") == "p").groupBy("conv_id").agg(F.max("wt").alias("wt")),
+        range=df.where(F.col("kind") == "r").select("conv_id", "lo", "hi", "lo_incl", "hi_incl", "wt"),
+    )

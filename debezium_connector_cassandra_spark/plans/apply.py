@@ -1,0 +1,166 @@
+"""The per-batch apply plan — Spark lifecycle replacing SURVEY §3's three
+Java entry points:
+
+    read log slice -> decode/envelope -> dedup -> tombstone union ->
+    per-key cell-LWW reduce -> finalize vs tombstones ->
+    kill + merge target (COW, touched buckets only) -> persist new tombstones
+
+Exactly-once contract (north_rule): the merge is idempotent (cell writetimes
+are compared strictly, so re-applying an already-applied batch is a no-op),
+therefore committing state BEFORE offsets is crash-safe: a failure between
+the two replays the batch harmlessly (reference reaches the same property via
+at-least-once + offset skip-check, handleMutation:259-263).
+
+Scale shape of one batch (the plan .explain should show):
+- parquet scan of only the new segments (partition pruning on segment_id) and
+  positions (predicate pushdown on position)
+- one shuffle for the per-key reduction (hash agg with map-side combine — hot
+  conv_ids collapse before the exchange)
+- tombstone relations pre-aggregated, joined broadcast (AQE decides at
+  runtime from actual size)
+- target read restricted to touched buckets; COW write of those buckets only
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..lake.table import LakeTable
+from ..model import STATE_SCHEMA, TRANSCRIPT_SCHEMA, REGULAR_COLUMNS
+from ..operators.dedup import dedup_events
+from ..operators.lww import finalize_state, kill_state, merge_states, reduce_upserts
+from ..operators.tombstones import (
+    TombstoneSet,
+    extract_tombstones,
+    rows_to_tombstones,
+    tomb_wt_for_keys,
+    tombstones_to_rows,
+    union_tombstones,
+)
+
+TOMBSTONE_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("lo", T.IntegerType(), True),
+        T.StructField("hi", T.IntegerType(), True),
+        T.StructField("lo_incl", T.BooleanType(), False),
+        T.StructField("hi_incl", T.BooleanType(), False),
+        T.StructField("wt", T.LongType(), False),
+    ]
+)
+
+
+@dataclass
+class CdcTarget:
+    """The materialized target: state table + persistent tombstone store
+    (Cassandra keeps tombstones until gc_grace for exactly this reason: an
+    out-of-order write arriving later must still lose to an earlier delete
+    with a higher writetime)."""
+
+    state: LakeTable
+    tombstones: LakeTable
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, n_buckets: int = 16) -> "CdcTarget":
+        state = LakeTable.create(spark, f"{path}/state", STATE_SCHEMA, "conv_id", n_buckets)
+        tombs = LakeTable.create(spark, f"{path}/tombstones", TOMBSTONE_STORE_SCHEMA, "conv_id", max(n_buckets // 4, 1))
+        return cls(state=state, tombstones=tombs)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "CdcTarget":
+        return cls(
+            state=LakeTable(spark, f"{path}/state"),
+            tombstones=LakeTable(spark, f"{path}/tombstones"),
+        )
+
+    def read_transcripts(self, version: int | None = None) -> DataFrame:
+        """User-facing view: payload columns only, reconciliation metadata
+        dropped (per-row invariant surface: per-turn text equality under
+        stable (conv_id, turn_idx) ordering)."""
+        cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+        extra = [f.name for f in self.state.schema().fields if f.name not in cols and not f.name.startswith("_")]
+        return self.state.read().select(*cols, *extra)
+
+
+def apply_batch(target: CdcTarget, batch: DataFrame, already_deduped: bool = False) -> dict:
+    """Apply one decoded mutation batch to the target. Returns metrics.
+
+    Steps map to SURVEY operators: D2 (dedup) -> D3-D12 are upstream in
+    decode -> R6 (reduce+merge) -> tombstone persistence (Cassandra
+    gc_grace analog).
+    """
+    if not already_deduped:
+        batch = dedup_events(batch)
+    batch = batch.cache()
+    try:
+        n_events = batch.count()  # materializes the cache
+
+        new_tombs = extract_tombstones(batch)
+        tomb_rows = tombstones_to_rows(new_tombs).cache()
+        kind_counts = {r["kind"]: r["count"] for r in tomb_rows.groupBy("kind").count().collect()}
+        n_tombs = sum(kind_counts.values())
+        new_tombs_pruned = new_tombs.prune(kind_counts)
+        stored_empty = target.tombstones.is_empty()
+
+        # --- touched buckets: batch keys + keys named by new tombstones ---
+        touched_keys = batch.select("conv_id").distinct()
+        bucket_ids = target.state.buckets_for_keys(touched_keys)
+
+        # --- reduce batch upserts, survive them against ALL tombstones ----
+        reduced = reduce_upserts(batch)
+        if n_tombs == 0 and stored_empty:
+            # structural short-circuit: nothing can kill these cells; skip
+            # the tombstone joins entirely (common insert-heavy path)
+            reduced = reduced.withColumn("tomb_wt", F.lit(None).cast("long"))
+        else:
+            if stored_empty:
+                all_tombs = new_tombs_pruned
+            else:
+                # the tombstone store is bucketed by conv_id too — read only
+                # the buckets the batch's conversations hash into
+                store_buckets = target.tombstones.buckets_for_keys(touched_keys)
+                stored = rows_to_tombstones(target.tombstones.read(buckets=store_buckets))
+                all_tombs = union_tombstones(new_tombs, stored)
+            reduced = tomb_wt_for_keys(reduced, all_tombs)
+        batch_state = finalize_state(reduced)
+
+        # --- kill + merge target (only touched buckets are read/rewritten)
+        if target.state.is_empty():
+            merged = batch_state
+        else:
+            tgt = target.state.read(buckets=bucket_ids)
+            if n_tombs:
+                tgt = tomb_wt_for_keys(tgt, new_tombs_pruned)
+                tgt = kill_state(tgt)
+            merged = merge_states(tgt, batch_state)
+
+        if bucket_ids:
+            new_version = target.state.overwrite_buckets(merged, bucket_ids)
+        else:
+            new_version = target.state.current_version()
+
+        # --- persist new tombstones for future out-of-order batches -------
+        if n_tombs:
+            target.tombstones.append(tomb_rows)
+        tomb_rows.unpersist()
+
+        return {
+            "n_events": n_events,
+            "n_buckets_rewritten": len(bucket_ids),
+            "n_new_tombstones": n_tombs,
+            "state_version": new_version,
+        }
+    finally:
+        batch.unpersist()
+
+
+def gc_tombstones(target: CdcTarget, writetime_horizon: int) -> int:
+    """Drop stored tombstones older than the horizon (gc_grace analog): once
+    no in-flight segment can carry a writetime <= horizon — the generator
+    bounds writetime inversion to a fixed window — tombstones below it can
+    never affect future batches."""
+    kept = target.tombstones.read().where(F.col("wt") > writetime_horizon)
+    return target.tombstones.overwrite_all(kept)

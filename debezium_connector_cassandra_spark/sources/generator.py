@@ -1,0 +1,221 @@
+"""Deterministic synthetic mutation-log generator (FIXTURES F2).
+
+Replaces the reference's role of Cassandra itself: where the reference reads
+real ``CommitLog-<v>-<id>.log`` segments written by a live cluster
+(CommitLogIdxProcessor, reference core/.../CommitLogIdxProcessor.java:109-163),
+our engine reads a Parquet ``mutation_log`` table partitioned by
+``segment_id`` — one directory per commit-log segment analog.
+
+Determinism at scale: every random choice is a pure function of
+``xxhash64(tag, seed, id)`` — no global RNG state, no driver-side loops — so
+the same (seed, n_events) produces byte-identical input at any partitioning
+and both bench parallelism levels see the same stream (SURVEY §7 hard part 5).
+
+Skew mode ("zipf conv_id", FIXTURES F3): a configurable fraction of events is
+funneled into conv_0 to exercise salted reduction + AQE skew handling
+(north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..model import MUTATION_LOG_SCHEMA
+
+WT_BASE = 1_700_000_000_000_000  # epoch micros base
+
+
+def _h(tag: str, seed: int, *cols) -> "F.Column":
+    """Pure per-row hash — deterministic, partition-independent."""
+    return F.xxhash64(F.lit(tag), F.lit(seed), *cols)
+
+
+def _u(tag: str, seed: int, mod: int, *cols) -> "F.Column":
+    return F.pmod(_h(tag, seed, *cols), F.lit(mod))
+
+
+def gen_mutation_log(
+    spark: SparkSession,
+    n_events: int,
+    n_convs: int = 200,
+    max_turns: int = 40,
+    events_per_segment: int = 1000,
+    n_log_partitions: int = 4,
+    seed: int = 42,
+    hot_fraction: float = 0.0,
+    dup_fraction: float = 0.0,
+    op_weights: tuple[int, int, int, int, int] = (62, 18, 8, 4, 8),
+    schema_v2_from_event: int | None = None,
+    wt_jitter_events: int = 500,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Build the mutation-log DataFrame (schema = model.MUTATION_LOG_SCHEMA).
+
+    ``op_weights`` = relative weights of (i, u, d, p, r).
+    ``hot_fraction``>0 routes that fraction of events to conv_0 (skew mode).
+    ``dup_fraction``>0 appends exact duplicate rows (same key+segment+position)
+    to exercise the offset dedup filter (reference handleMutation:259-263).
+    ``wt_jitter_events`` controls how far writetimes can invert relative to log
+    order, creating genuine LWW conflicts across segments.
+    """
+    wi, wu, wd, wp, wr = op_weights
+    total_w = wi + wu + wd + wp + wr
+
+    df = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    gid = F.col("id")
+
+    opsel = _u("op", seed, total_w, gid)
+    op = (
+        F.when(opsel < wi, F.lit("i"))
+        .when(opsel < wi + wu, F.lit("u"))
+        .when(opsel < wi + wu + wd, F.lit("d"))
+        .when(opsel < wi + wu + wd + wp, F.lit("p"))
+        .otherwise(F.lit("r"))
+    )
+
+    # conversation pick, with optional hot-key funnel (zipf-ish skew)
+    conv_u = _u("conv", seed, 1_000_000, gid)
+    base_conv = F.pmod(conv_u, F.lit(n_convs))
+    if hot_fraction > 0:
+        hot_cut = int(hot_fraction * 1_000_000)
+        conv_n = F.when(conv_u < hot_cut, F.lit(0)).otherwise(
+            F.lit(1) + F.pmod(conv_u, F.lit(max(n_convs - 1, 1)))
+        )
+    else:
+        conv_n = base_conv
+    conv_id = F.concat(F.lit("conv_"), conv_n.cast("string"))
+
+    turn = _u("turn", seed, max_turns, gid).cast("int")
+
+    # writetime: increases with log order but with bounded inversions so that
+    # replay order != writetime order (the reason LWW exists; reference event
+    # ts rules Cassandra4CommitLogReadHandlerImpl.java:429).
+    # Construction: wt = BASE + (id + jitter)*1024 + (id mod 1024) with
+    # |jitter| <= 511. Globally UNIQUE (two ids collide only if id1 ≡ id2
+    # mod 1024 AND jitter differs by a multiple of 1024 — impossible with
+    # |jitter| < 512) yet inverted across up to ~2*jitter log positions, so
+    # strict writetime comparisons are deterministic and order-insensitive.
+    if wt_jitter_events > 511:
+        raise ValueError("wt_jitter_events must be <= 511 to keep writetimes unique")
+    jitter = _u("wt", seed, 2 * wt_jitter_events, gid) - F.lit(wt_jitter_events)
+    writetime = F.lit(WT_BASE) + (gid + jitter) * F.lit(1024) + F.pmod(gid, F.lit(1024))
+
+    segment_id = (gid / F.lit(events_per_segment)).cast("long")
+    position = F.pmod(gid, F.lit(events_per_segment)) * F.lit(16)
+    log_partition = F.pmod(segment_id, F.lit(n_log_partitions)).cast("int")
+
+    # --- cells ------------------------------------------------------------
+    is_upsert = op.isin("i", "u")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system"))
+    role_val = F.element_at(roles, (_u("role", seed, 4, gid) + 1).cast("int"))
+    text_val = F.concat(
+        F.lit("msg "), conv_id, F.lit(" t"), turn.cast("string"), F.lit(" e"), gid.cast("string")
+    )
+    tool_present = _u("toolp", seed, 3, gid) == 0
+    tool_val = F.when(tool_present, F.concat(F.lit("tool_"), _u("tool", seed, 8, gid).cast("string")))
+    ts_val = F.timestamp_micros(writetime)
+
+    # sparse set-flags for UPDATE (reference populateRegularColumns:548-574):
+    # inserts set every column; updates set a hash-chosen non-empty subset.
+    bits = _u("bits", seed, 8, gid)  # 3 bits: role, text, tool(+ts)
+    is_insert = op == F.lit("i")
+    role_set = is_insert | (F.pmod(bits, F.lit(2)) == 1)
+    text_set = is_insert | (F.pmod((bits / 2).cast("long"), F.lit(2)) == 1) | (bits == 0)
+    tool_set = is_insert | (F.pmod((bits / 4).cast("long"), F.lit(2)) == 1)
+    ts_set = is_insert | text_set  # ts rides with text updates
+
+    # occasional cell tombstone / TTL expiry on tool (reference TTL math
+    # SnapshotProcessor.calculateDeletionTs:342-344): a set cell with
+    # deletion_ts acts as a null assignment at the event writetime.
+    tool_del = tool_set & (_u("ttl", seed, 20, gid) == 0)
+
+    def cell(set_col, value_col, del_col=None):
+        del_ts = (
+            F.when(del_col, writetime).otherwise(F.lit(None).cast("long"))
+            if del_col is not None
+            else F.lit(None).cast("long")
+        )
+        return F.struct(
+            F.when(set_col & (del_ts.isNull() if del_col is not None else F.lit(True)), value_col)
+            .otherwise(F.lit(None))
+            .alias("value"),
+            del_ts.alias("deletion_ts"),
+            F.coalesce(set_col, F.lit(False)).alias("set"),
+        )
+
+    cells = F.when(
+        is_upsert,
+        F.struct(
+            cell(role_set, role_val).alias("role"),
+            cell(text_set, text_val).alias("text"),
+            cell(tool_set, tool_val, tool_del).alias("tool"),
+            cell(ts_set, ts_val).alias("ts"),
+        ),
+    )
+
+    # --- range tombstone bounds (reference RangeData / bound markers,
+    # Cassandra4CommitLogReadHandlerImpl.java:461-511) ---------------------
+    is_range = op == F.lit("r")
+    lo = _u("rlo", seed, max_turns, gid).cast("int")
+    span = _u("rspan", seed, 8, gid).cast("int")
+    hi = F.least(lo + span, F.lit(max_turns - 1)).cast("int")
+    s_incl = _u("rsi", seed, 2, gid) == 0
+    e_incl = _u("rei", seed, 2, gid) == 0
+    range_start = F.when(
+        is_range,
+        F.struct(
+            F.when(s_incl, F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")).alias("method"),
+            lo.alias("turn_idx"),
+        ),
+    )
+    range_end = F.when(
+        is_range,
+        F.struct(
+            F.when(e_incl, F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")).alias("method"),
+            hi.alias("turn_idx"),
+        ),
+    )
+
+    if schema_v2_from_event is not None:
+        schema_version = F.when(gid >= F.lit(schema_v2_from_event), F.lit(2)).otherwise(F.lit(1))
+    else:
+        schema_version = F.lit(1)
+
+    out = df.select(
+        segment_id.alias("segment_id"),
+        position.alias("position"),
+        log_partition.alias("log_partition"),
+        op.alias("op"),
+        conv_id.alias("conv_id"),
+        F.when(op.isin("i", "u", "d"), turn).alias("turn_idx"),
+        writetime.alias("writetime"),
+        cells.alias("cells"),
+        range_start.alias("range_start"),
+        range_end.alias("range_end"),
+        schema_version.cast("int").alias("schema_version"),
+        F.lit(False).alias("snapshot"),
+    )
+
+    if dup_fraction > 0:
+        dup_cut = int(dup_fraction * 1000)
+        dups = out.where(_u("dup", seed, 1000, F.col("segment_id") * 100000 + F.col("position")) < dup_cut)
+        out = out.unionByName(dups)
+
+    return out
+
+
+def write_mutation_log(df: DataFrame, path: str) -> None:
+    """Persist partitioned by segment_id — the commit-log directory analog.
+
+    At cluster scale each segment directory is written by the producer side
+    (the Cassandra-node analog); partition pruning on segment_id is what lets
+    an incremental batch read only un-processed segments (reference idx
+    watermark, CommitLogIdxParser.java:58-105).
+    """
+    df.write.mode("overwrite").partitionBy("segment_id").parquet(path)
+
+
+def read_mutation_log(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.schema(MUTATION_LOG_SCHEMA).parquet(path)
+    # partition column comes back last; restore canonical order
+    return df.select(*[f.name for f in MUTATION_LOG_SCHEMA.fields])
