@@ -88,12 +88,13 @@ def with_envelope(df: DataFrame, excluded_fields: tuple[str, ...] = ()) -> DataF
     cells = F.col("cells")
     if excluded_fields:
         kept = []
-        for name in REGULAR_COLUMNS:
+        for field in df.schema["cells"].dataType.fields:
+            name = field.name
             if name in excluded_fields:
                 kept.append(
                     F.when(
                         F.col("op").isin("i", "u"),
-                        F.lit(None).cast(CELLS_TYPE[name].dataType),
+                        F.lit(None).cast(field.dataType),
                     ).otherwise(cells[name]).alias(name)
                 )
             else:

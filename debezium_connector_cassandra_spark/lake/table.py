@@ -35,9 +35,27 @@ import os
 import time
 import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 BUCKET_COL = "_bucket"
+# bucket id for small driver-side appends that skip hash-bucketing; pruned
+# reads always include it (bounded in size by compaction)
+UNBUCKETED = -1
+
+_PA_TYPES = {
+    T.StringType(): pa.string(),
+    T.LongType(): pa.int64(),
+    T.IntegerType(): pa.int32(),
+    T.BooleanType(): pa.bool_(),
+    T.DoubleType(): pa.float64(),
+    T.TimestampType(): pa.timestamp("us"),
+}
+
+
+def _pa_schema(schema: T.StructType) -> pa.Schema:
+    return pa.schema([(f.name, _PA_TYPES[f.dataType]) for f in schema.fields])
 
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
@@ -126,7 +144,7 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schema"])
         files: list[str] = []
         for b, fs in m["buckets"].items():
-            if buckets is not None and int(b) not in buckets:
+            if buckets is not None and int(b) not in buckets and int(b) != UNBUCKETED:
                 continue
             files.extend(os.path.join(self.path, f) for f in fs)
         if not files:
@@ -188,6 +206,31 @@ class LakeTable:
         new_buckets = {b: list(fs) for b, fs in m["buckets"].items()}
         for b, fs in added.items():
             new_buckets.setdefault(str(b), []).extend(fs)
+        return self._commit(m, new_buckets)
+
+    def append_small(self, rows: list[dict]) -> int:
+        """Driver-side append of a handful of rows, no Spark job: one Parquet
+        file written with pyarrow into the UNBUCKETED slot. This is the
+        direct analog of the reference's offset flush — a tiny synchronous
+        write on the driver (FileOffsetWriter.flush), made atomic by the
+        manifest pointer swap. Used by the offsets/lineage/metrics tables
+        and small tombstone batches; bucket-pruned reads always include the
+        unbucketed slot."""
+        if not rows:
+            return self.current_version()
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        commit_id = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+        rel_file = os.path.join(rel_dir, "unbucketed.parquet")
+        names = [f.name for f in schema.fields]
+        table = pa.table(
+            {n: [r.get(n) for r in rows] for n in names}, schema=_pa_schema(schema)
+        )
+        pq.write_table(table, os.path.join(self.path, rel_file))
+        new_buckets = {b: list(fs) for b, fs in m["buckets"].items()}
+        new_buckets.setdefault(str(UNBUCKETED), []).append(rel_file)
         return self._commit(m, new_buckets)
 
     def _commit(self, base_manifest: dict, new_buckets: dict, schema: T.StructType | None = None) -> int:

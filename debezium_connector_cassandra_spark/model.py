@@ -123,26 +123,29 @@ SOURCE_TYPE = T.StructType(
 # keeps reconciliation metadata, because Cassandra semantics are cell-level
 # last-writer-wins (reference reconciliation via per-cell timestamps;
 # envelope event-time rules Cassandra4CommitLogReadHandlerImpl.java:429):
-#   _live_wt  liveness writetime: max writetime of INSERT ops (primary-key
-#             liveness, reference RowType predicates :226-236)
-#   _cell_wt  per-column writetime of the winning cell
+#   _live_wt   liveness writetime: max writetime of INSERT ops (primary-key
+#              liveness, reference RowType predicates :226-236)
+#   _wt_<col>  per-column writetime of the winning cell — FLAT longs (not a
+#              struct) so schema evolution stays a metadata-only ADD COLUMN
 # A row is visible while (liveness survives) OR (any cell survives); a
 # tombstone at writetime W kills cells/liveness with writetime <= W
 # (delete wins ties — Cassandra reconciliation rule).
 # ---------------------------------------------------------------------------
-CELL_WT_TYPE = T.StructType(
-    [T.StructField(name, T.LongType(), True) for name in REGULAR_COLUMNS]
-)
 
-STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), False),
-        T.StructField("turn_idx", T.IntegerType(), False),
-        *[T.StructField(n, t, True) for n, t in REGULAR_COLUMNS.items()],
-        T.StructField("_live_wt", T.LongType(), True),
-        T.StructField("_cell_wt", CELL_WT_TYPE, True),
-    ]
-)
+
+def state_schema_for(payload: dict[str, T.DataType]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            *[T.StructField(n, t, True) for n, t in payload.items()],
+            T.StructField("_live_wt", T.LongType(), True),
+            *[T.StructField(f"_wt_{n}", T.LongType(), True) for n in payload],
+        ]
+    )
+
+
+STATE_SCHEMA = state_schema_for(REGULAR_COLUMNS)
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [

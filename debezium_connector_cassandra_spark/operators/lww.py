@@ -28,15 +28,30 @@ A cell whose winning write carries ``deletion_ts`` (TTL expiry / cell
 tombstone, reference populateRegularColumns:575-588) survives as an explicit
 null assignment: its writetime is kept so it still beats older values from
 other batches.
+
+Schema-driven (reference SchemaHolder analog, SchemaHolder.java:18-52):
+payload columns are introspected from the batch's ``cells`` struct / the
+state relation's ``_wt_*`` markers, never hard-coded, so a column added
+mid-stream (SchemaChangeListener scenario) flows through untouched. State
+relations carry one flat ``_wt_<col>`` long per payload column plus
+``_live_wt`` — flat, so lake ADD COLUMN stays a metadata-only commit.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..model import REGULAR_COLUMNS
-
 NEG_INF = -(1 << 62)
+
+
+def batch_payload_columns(batch: DataFrame) -> list[str]:
+    """Payload columns carried by a decoded batch's cells struct."""
+    return [f.name for f in batch.schema["cells"].dataType.fields]
+
+
+def state_payload_columns(state: DataFrame) -> list[str]:
+    """Payload columns of a STATE relation (flagged by their _wt_ twins)."""
+    return [c[len("_wt_"):] for c in state.columns if c.startswith("_wt_")]
 
 
 def _winner(col: str) -> F.Column:
@@ -65,30 +80,28 @@ def reduce_upserts(batch: DataFrame) -> DataFrame:
     writetime — NULL when the batch only UPDATEs the key).
     """
     ups = batch.where(F.col("op").isin("i", "u"))
-    aggs = [_winner(c) for c in REGULAR_COLUMNS]
+    aggs = [_winner(c) for c in batch_payload_columns(batch)]
     aggs.append(F.max(F.when(F.col("op") == "i", F.col("writetime"))).alias("_live_wt"))
     return ups.groupBy("conv_id", "turn_idx").agg(*aggs)
 
 
 def finalize_state(reduced_with_tomb: DataFrame) -> DataFrame:
     """Apply ``tomb_wt`` (max applicable tombstone writetime, NULL = none)
-    to a reduced relation, producing STATE_SCHEMA rows.
+    to a reduced relation, producing STATE-shaped rows.
 
     Survival rule: writetime strictly greater than tomb_wt (delete wins
     ties). A surviving cell with deletion_ts is a null assignment whose
     writetime is retained.
     """
+    payload = [c[len("_w_"):] for c in reduced_with_tomb.columns if c.startswith("_w_")]
     tomb = F.coalesce(F.col("tomb_wt"), F.lit(NEG_INF))
-    cols = []
-    cell_wts = []
+    cols, wts = [], []
     alive_any = F.lit(False)
-    for c in REGULAR_COLUMNS:
+    for c in payload:
         w = F.col(f"_w_{c}")
         alive = w.isNotNull() & (w["wt"] > tomb)
-        value = F.when(alive & w["deletion_ts"].isNull(), w["value"])
-        cell_wt = F.when(alive, w["wt"])
-        cols.append(value.alias(c))
-        cell_wts.append(cell_wt.alias(c))
+        cols.append(F.when(alive & w["deletion_ts"].isNull(), w["value"]).alias(c))
+        wts.append(F.when(alive, w["wt"]).alias(f"_wt_{c}"))
         alive_any = alive_any | alive
     live_wt = F.when(F.col("_live_wt") > tomb, F.col("_live_wt"))
     out = reduced_with_tomb.select(
@@ -96,7 +109,7 @@ def finalize_state(reduced_with_tomb: DataFrame) -> DataFrame:
         "turn_idx",
         *cols,
         live_wt.alias("_live_wt"),
-        F.struct(*cell_wts).alias("_cell_wt"),
+        *wts,
         (alive_any | live_wt.isNotNull()).alias("_visible"),
     )
     return out.where(F.col("_visible")).drop("_visible")
@@ -106,15 +119,15 @@ def kill_state(state: DataFrame) -> DataFrame:
     """Apply ``tomb_wt`` to an already-materialized STATE relation (the
     target side of a merge): null out cells/liveness with writetime <=
     tomb_wt, drop rows with nothing left."""
+    payload = state_payload_columns(state)
     tomb = F.coalesce(F.col("tomb_wt"), F.lit(NEG_INF))
-    cols = []
-    cell_wts = []
+    cols, wts = [], []
     alive_any = F.lit(False)
-    for c in REGULAR_COLUMNS:
-        w = F.col("_cell_wt")[c]
+    for c in payload:
+        w = F.col(f"_wt_{c}")
         alive = w.isNotNull() & (w > tomb)
         cols.append(F.when(alive, F.col(c)).alias(c))
-        cell_wts.append(F.when(alive, w).alias(c))
+        wts.append(F.when(alive, w).alias(f"_wt_{c}"))
         alive_any = alive_any | alive
     live_wt = F.when(F.col("_live_wt") > tomb, F.col("_live_wt"))
     out = state.select(
@@ -122,7 +135,7 @@ def kill_state(state: DataFrame) -> DataFrame:
         "turn_idx",
         *cols,
         live_wt.alias("_live_wt"),
-        F.struct(*cell_wts).alias("_cell_wt"),
+        *wts,
         (alive_any | live_wt.isNotNull()).alias("_visible"),
     )
     return out.where(F.col("_visible")).drop("_visible")
@@ -132,32 +145,38 @@ def merge_states(target: DataFrame, batch: DataFrame) -> DataFrame:
     """Full-outer cell-level merge of two STATE relations on the primary key.
 
     Per column the side with the strictly higher cell writetime wins; equal
-    writetimes cannot occur across batches (writetimes are unique per event;
-    replays present identical values so either side is correct — the batch
-    side is chosen deterministically via >=, keeping re-application
-    idempotent)."""
+    writetimes cannot occur across batches for distinct events (writetimes
+    are unique per event); replays present identical values, and the batch
+    side is chosen on >= so re-application stays deterministic and
+    idempotent. The batch side may carry MORE payload columns than the
+    target (schema evolution applied to the lake before the merge): missing
+    target columns are treated as never-written."""
     t = target.alias("t")
     b = batch.alias("b")
+    t_payload = set(state_payload_columns(target))
+    b_payload = set(state_payload_columns(batch))
+    payload = sorted(t_payload | b_payload)
     joined = t.join(b, ["conv_id", "turn_idx"], "full_outer")
 
-    cols = []
-    cell_wts = []
-    for c in REGULAR_COLUMNS:
-        twt = F.coalesce(F.col("t._cell_wt")[c], F.lit(NEG_INF))
-        bwt = F.coalesce(F.col("b._cell_wt")[c], F.lit(NEG_INF))
-        b_wins = bwt >= twt
-        cols.append(F.when(b_wins, F.col(f"b.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
-        cell_wts.append(
-            F.when(b_wins, F.col("b._cell_wt")[c]).otherwise(F.col("t._cell_wt")[c]).alias(c)
+    def side(alias: str, c: str, present: bool):
+        return F.col(f"{alias}.{c}") if present else F.lit(None)
+
+    cols, wts = [], []
+    for c in payload:
+        twt_raw = side("t", f"_wt_{c}", c in t_payload)
+        bwt_raw = side("b", f"_wt_{c}", c in b_payload)
+        b_wins = F.coalesce(bwt_raw, F.lit(NEG_INF)) >= F.coalesce(twt_raw, F.lit(NEG_INF))
+        cols.append(
+            F.when(b_wins, side("b", c, c in b_payload))
+            .otherwise(side("t", c, c in t_payload))
+            .alias(c)
         )
-    live_wt = F.greatest(
-        F.coalesce(F.col("t._live_wt"), F.lit(None)),
-        F.coalesce(F.col("b._live_wt"), F.lit(None)),
-    )
+        wts.append(F.when(b_wins, bwt_raw).otherwise(twt_raw).cast("long").alias(f"_wt_{c}"))
+    live_wt = F.greatest(F.col("t._live_wt"), F.col("b._live_wt"))
     return joined.select(
         "conv_id",
         "turn_idx",
         *cols,
         live_wt.alias("_live_wt"),
-        F.struct(*cell_wts).alias("_cell_wt"),
+        *wts,
     )

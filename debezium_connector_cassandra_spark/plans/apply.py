@@ -28,7 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..lake.table import LakeTable
-from ..model import STATE_SCHEMA, TRANSCRIPT_SCHEMA, REGULAR_COLUMNS
+from ..model import STATE_SCHEMA, state_schema_for
 from ..operators.dedup import dedup_events
 from ..operators.lww import finalize_state, kill_state, merge_states, reduce_upserts
 from ..operators.tombstones import (
@@ -64,8 +64,15 @@ class CdcTarget:
     tombstones: LakeTable
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, n_buckets: int = 16) -> "CdcTarget":
-        state = LakeTable.create(spark, f"{path}/state", STATE_SCHEMA, "conv_id", n_buckets)
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 16,
+        payload: dict | None = None,
+    ) -> "CdcTarget":
+        schema = state_schema_for(payload) if payload else STATE_SCHEMA
+        state = LakeTable.create(spark, f"{path}/state", schema, "conv_id", n_buckets)
         tombs = LakeTable.create(spark, f"{path}/tombstones", TOMBSTONE_STORE_SCHEMA, "conv_id", max(n_buckets // 4, 1))
         return cls(state=state, tombstones=tombs)
 
@@ -76,13 +83,24 @@ class CdcTarget:
             tombstones=LakeTable(spark, f"{path}/tombstones"),
         )
 
+    def add_payload_column(self, name: str, dtype: T.DataType) -> int:
+        """R9 schema evolution: replayed BEFORE applying batches carrying the
+        new column (reference Cassandra4SchemaChangeListener.onTableUpdated:
+        220-260 -> SchemaHolder update). Metadata-only lake commit: the
+        payload column and its _wt_ twin are added; old files read NULLs."""
+        self.state.add_column(name, dtype)
+        return self.state.add_column(f"_wt_{name}", T.LongType())
+
     def read_transcripts(self, version: int | None = None) -> DataFrame:
         """User-facing view: payload columns only, reconciliation metadata
         dropped (per-row invariant surface: per-turn text equality under
         stable (conv_id, turn_idx) ordering)."""
-        cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
-        extra = [f.name for f in self.state.schema().fields if f.name not in cols and not f.name.startswith("_")]
-        return self.state.read().select(*cols, *extra)
+        cols = [
+            f.name
+            for f in self.state.schema(version).fields
+            if not f.name.startswith("_")
+        ]
+        return self.state.read(version=version).select(*cols)
 
 
 def apply_batch(target: CdcTarget, batch: DataFrame, already_deduped: bool = False) -> dict:
@@ -144,7 +162,11 @@ def apply_batch(target: CdcTarget, batch: DataFrame, already_deduped: bool = Fal
 
         # --- persist new tombstones for future out-of-order batches -------
         if n_tombs:
-            target.tombstones.append(tomb_rows)
+            if n_tombs <= 20_000:
+                # driver-side flush, no Spark job (offset-flush analog)
+                target.tombstones.append_small([r.asDict() for r in tomb_rows.collect()])
+            else:
+                target.tombstones.append(tomb_rows)
         tomb_rows.unpersist()
 
         return {

@@ -215,7 +215,16 @@ def write_mutation_log(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").partitionBy("segment_id").parquet(path)
 
 
-def read_mutation_log(spark: SparkSession, path: str) -> DataFrame:
-    df = spark.read.schema(MUTATION_LOG_SCHEMA).parquet(path)
+def read_mutation_log(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read the log. ``schema=None`` uses the canonical schema; pass
+    ``"infer"`` for evolved logs whose cells struct is wider (schema-change
+    scenario), or an explicit StructType."""
+    if schema == "infer":
+        df = spark.read.parquet(path)
+        names = [f.name for f in MUTATION_LOG_SCHEMA.fields if f.name in df.columns]
+        extra = [c for c in df.columns if c not in names]
+        return df.select(*names, *extra)
+    schema = schema or MUTATION_LOG_SCHEMA
+    df = spark.read.schema(schema).parquet(path)
     # partition column comes back last; restore canonical order
-    return df.select(*[f.name for f in MUTATION_LOG_SCHEMA.fields])
+    return df.select(*[f.name for f in schema.fields])
