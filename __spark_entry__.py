@@ -22,9 +22,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from debezium_connector_cassandra_spark.functions.decode import with_envelope
 from debezium_connector_cassandra_spark.operators.dedup import dedup_events
 from debezium_connector_cassandra_spark.operators.lww import (
+    drop_invisible,
     finalize_state,
-    merge_states,
-    reduce_upserts,
+    reduce_events,
 )
 from debezium_connector_cassandra_spark.operators.tombstones import (
     extract_tombstones,
@@ -151,19 +151,18 @@ def derived_log(spark: SparkSession, sf_dir: str, include_meta: bool = False) ->
 
 
 def _state_pipeline(log: DataFrame, payload: list[str], ops: tuple[str, ...]) -> DataFrame:
-    """One in-memory pass of the apply heart: tombstones + reduce + finalize
+    """One in-memory pass of the apply heart: reduce (row deletes folded
+    into the key aggregation) + conv-grain tombstone joins + finalize
     (R6/D8/D9). Mirrors plans.apply.apply_batch without the lake."""
     opset = set(ops)
     tombs = extract_tombstones(log)
-    tombs.row = tombs.row if "d" in opset else None
+    tombs.row = None  # 'd' folds into the key reduction
     tombs.partition = tombs.partition if "p" in opset else None
     tombs.range = tombs.range if "r" in opset else None
-    reduced = reduce_upserts(log)
-    if not opset & {"d", "p", "r"}:
-        reduced = reduced.withColumn("tomb_wt", F.lit(None).cast("long"))
-    else:
+    reduced = reduce_events(log)
+    if opset & {"p", "r"}:
         reduced = tomb_wt_for_keys(reduced, tombs)
-    state = finalize_state(reduced)
+    state = drop_invisible(finalize_state(reduced))
     return state.select("conv_id", "turn_idx", *payload)
 
 

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "pipeline": {...end-to-end CDC numbers...}}
+
+Two parts:
+1. headline engine queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1), each timed with a noop write so the whole
+   plan executes;
+2. the end-to-end CDC pipeline (BASELINE.json metric): generate a seeded
+   mutation log sized to the scale factor (20M events/sf), then run the
+   micro-batch runner (decode -> dedup -> cell-LWW reduce -> tombstones ->
+   COW merge -> offsets/lineage/metrics) and report change-events/sec.
+
+Scaling protocol (BASELINE.md): run with SPARK_GRAFT_CPUS=8 and =32 on the
+same input — see bench_scaling.py which orchestrates both and computes the
+N->4N efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _noop_write(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+HEADLINE_QUERIES = [
+    "cdc_full_state",
+    "cdc_lww_upserts",
+    "cdc_range_tombstones",
+    "cdc_decode_envelope",
+    "cdc_dedup_events",
+    "cdc_schema_evolution",
+    "cdc_snapshot_union",
+    "cdc_offsets_checkpoint",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    out = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        _noop_write(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_pipeline(spark, sf: float, workdir: str, n_events: int | None = None) -> dict:
+    from debezium_connector_cassandra_spark.sources.generator import (
+        gen_mutation_log,
+        write_mutation_log,
+    )
+    from debezium_connector_cassandra_spark.streaming.runner import CdcRunner
+
+    n_events = n_events or max(int(20_000_000 * sf), 50_000)
+    n_convs = max(n_events // 100, 100)
+    log_path = os.path.join(workdir, "mutation_log")
+    target_path = os.path.join(workdir, "target")
+
+    t0 = time.time()
+    log = gen_mutation_log(
+        spark,
+        n_events,
+        n_convs=n_convs,
+        max_turns=50,
+        events_per_segment=max(n_events // 8, 1),
+        n_log_partitions=4,
+        seed=42,
+        hot_fraction=0.05,
+    )
+    write_mutation_log(log, log_path)
+    gen_sec = time.time() - t0
+
+    runner = CdcRunner(spark, log_path, target_path, segments_per_batch=4, n_buckets=32)
+    t0 = time.time()
+    results = runner.run()
+    apply_sec = time.time() - t0
+    n_applied = sum(r["n_decoded"] for r in results)
+    final_rows = runner.target.state.read().count()
+    return {
+        "n_events": n_events,
+        "n_batches": len(results),
+        "gen_sec": round(gen_sec, 2),
+        "apply_sec": round(apply_sec, 2),
+        "events_per_sec": round(n_applied / apply_sec, 1),
+        "final_state_rows": final_rows,
+        "batch_wall_ms": [r["wall_ms"] for r in results],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--n-events", type=int, default=None)
+    ap.add_argument("--keep-workdir", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from debezium_connector_cassandra_spark.session import get_spark
+
+    spark = get_spark(app_name="cdc-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    t_total = time.time()
+    queries: dict[str, float] = {}
+    if not args.pipeline_only:
+        queries = bench_queries(spark, sf_dir)
+
+    workdir = args.keep_workdir or tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        pipeline = bench_pipeline(spark, sf, workdir, n_events=args.n_events)
+    finally:
+        if not args.keep_workdir:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(time.time() - t_total, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "change-events/sec applied end-to-end (log tail -> merged lake state); headline query secs",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": int(cpus),
+                "pipeline": pipeline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,30 +71,50 @@ def _winner(col: str) -> F.Column:
     ).alias(f"_w_{col}")
 
 
-def reduce_upserts(batch: DataFrame) -> DataFrame:
-    """Per-key cell-LWW reduction of a decoded batch's INSERT/UPDATE rows.
+def reduce_events(batch: DataFrame) -> DataFrame:
+    """Per-key cell-LWW reduction of a decoded batch's keyed rows
+    (INSERT/UPDATE **and row DELETE** — they share the grouping key, so the
+    row-tombstone fold costs ZERO extra shuffle; this removes the only
+    key-grain (hence large) tombstone join from the plan. Partition/range
+    tombstones are conv-grain and stay as small broadcastable relations).
 
     Returns one row per (conv_id, turn_idx) with columns
     ``_w_<col>: struct<wt, seg, pos, value, deletion_ts>`` (NULL when no
-    upsert in the batch set that column) and ``_live_wt`` (max INSERT
-    writetime — NULL when the batch only UPDATEs the key).
-    """
-    ups = batch.where(F.col("op").isin("i", "u"))
+    upsert in the batch set that column), ``_live_wt`` (max INSERT
+    writetime) and ``_d_wt`` (max row-delete writetime — NULL when the batch
+    has no 'd' for the key)."""
+    keyed = batch.where(F.col("op").isin("i", "u", "d"))
     aggs = [_winner(c) for c in batch_payload_columns(batch)]
     aggs.append(F.max(F.when(F.col("op") == "i", F.col("writetime"))).alias("_live_wt"))
-    return ups.groupBy("conv_id", "turn_idx").agg(*aggs)
+    aggs.append(F.max(F.when(F.col("op") == "d", F.col("writetime"))).alias("_d_wt"))
+    return keyed.groupBy("conv_id", "turn_idx").agg(*aggs)
+
+
+# backwards-compatible alias (upserts-only call sites pre-filter the batch)
+reduce_upserts = reduce_events
 
 
 def finalize_state(reduced_with_tomb: DataFrame) -> DataFrame:
-    """Apply ``tomb_wt`` (max applicable tombstone writetime, NULL = none)
-    to a reduced relation, producing STATE-shaped rows.
+    """Turn a reduced relation into STATE-shaped rows + kill metadata.
 
-    Survival rule: writetime strictly greater than tomb_wt (delete wins
-    ties). A surviving cell with deletion_ts is a null assignment whose
-    writetime is retained.
-    """
+    The effective tombstone writetime per key is
+    ``greatest(_d_wt, tomb_wt)`` where ``_d_wt`` is the folded row-delete
+    aggregate and ``tomb_wt`` (optional column) carries partition/range/
+    stored-tombstone contributions from the (small, broadcast) joins.
+
+    Survival rule: writetime strictly greater than the tombstone writetime
+    (delete wins ties). A surviving cell with deletion_ts is a null
+    assignment whose writetime is retained.
+
+    Output KEEPS invisible kill-carrier rows (keys whose batch content is
+    only deletes) with ``_kill_wt`` set — merge_states uses them to kill
+    matching target rows without a separate tombstone join. Call
+    ``drop_invisible`` when merging into an empty target / running
+    single-pass."""
     payload = [c[len("_w_"):] for c in reduced_with_tomb.columns if c.startswith("_w_")]
-    tomb = F.coalesce(F.col("tomb_wt"), F.lit(NEG_INF))
+    has_join_tomb = "tomb_wt" in reduced_with_tomb.columns
+    d_wt = F.coalesce(F.col("_d_wt"), F.lit(NEG_INF))
+    tomb = F.greatest(d_wt, F.coalesce(F.col("tomb_wt"), F.lit(NEG_INF))) if has_join_tomb else d_wt
     cols, wts = [], []
     alive_any = F.lit(False)
     for c in payload:
@@ -104,15 +124,26 @@ def finalize_state(reduced_with_tomb: DataFrame) -> DataFrame:
         wts.append(F.when(alive, w["wt"]).alias(f"_wt_{c}"))
         alive_any = alive_any | alive
     live_wt = F.when(F.col("_live_wt") > tomb, F.col("_live_wt"))
+    kill_wt = F.when(tomb > F.lit(NEG_INF), tomb)
     out = reduced_with_tomb.select(
         "conv_id",
         "turn_idx",
         *cols,
         live_wt.alias("_live_wt"),
         *wts,
+        kill_wt.alias("_kill_wt"),
         (alive_any | live_wt.isNotNull()).alias("_visible"),
     )
-    return out.where(F.col("_visible")).drop("_visible")
+    return out.where(F.col("_visible") | F.col("_kill_wt").isNotNull()).drop("_visible")
+
+
+def drop_invisible(state: DataFrame) -> DataFrame:
+    """Drop kill-carrier rows and the _kill_wt column — yields pure STATE."""
+    payload = state_payload_columns(state)
+    visible = F.col("_live_wt").isNotNull()
+    for c in payload:
+        visible = visible | F.col(f"_wt_{c}").isNotNull()
+    return state.where(visible).drop("_kill_wt")
 
 
 def kill_state(state: DataFrame) -> DataFrame:
@@ -142,41 +173,51 @@ def kill_state(state: DataFrame) -> DataFrame:
 
 
 def merge_states(target: DataFrame, batch: DataFrame) -> DataFrame:
-    """Full-outer cell-level merge of two STATE relations on the primary key.
+    """Full-outer cell-level merge of a STATE target with a finalized batch
+    (which carries ``_kill_wt``) on the primary key.
 
-    Per column the side with the strictly higher cell writetime wins; equal
-    writetimes cannot occur across batches for distinct events (writetimes
-    are unique per event); replays present identical values, and the batch
-    side is chosen on >= so re-application stays deterministic and
-    idempotent. The batch side may carry MORE payload columns than the
-    target (schema evolution applied to the lake before the merge): missing
-    target columns are treated as never-written."""
+    The batch's per-key kill writetime is applied to the target side INSIDE
+    the merge join — no separate row-tombstone join against the target.
+    Per column the side with the strictly higher surviving cell writetime
+    wins; replays present identical values and the batch side is chosen on
+    >=, so re-application stays deterministic and idempotent. The batch side
+    may carry MORE payload columns than the target (schema evolution applied
+    to the lake before the merge): missing target columns are treated as
+    never-written. Rows with nothing left (fully deleted) drop out."""
     t = target.alias("t")
     b = batch.alias("b")
     t_payload = set(state_payload_columns(target))
     b_payload = set(state_payload_columns(batch))
     payload = sorted(t_payload | b_payload)
     joined = t.join(b, ["conv_id", "turn_idx"], "full_outer")
+    kill = F.coalesce(F.col("b._kill_wt"), F.lit(NEG_INF))
 
     def side(alias: str, c: str, present: bool):
         return F.col(f"{alias}.{c}") if present else F.lit(None)
 
     cols, wts = [], []
+    visible = F.lit(False)
     for c in payload:
-        twt_raw = side("t", f"_wt_{c}", c in t_payload)
-        bwt_raw = side("b", f"_wt_{c}", c in b_payload)
-        b_wins = F.coalesce(bwt_raw, F.lit(NEG_INF)) >= F.coalesce(twt_raw, F.lit(NEG_INF))
+        twt_raw = side("t", f"_wt_{c}", c in t_payload).cast("long")
+        bwt_raw = side("b", f"_wt_{c}", c in b_payload).cast("long")
+        t_alive = F.when(twt_raw > kill, twt_raw)  # batch tombstones kill target cells
+        b_wins = F.coalesce(bwt_raw, F.lit(NEG_INF)) >= F.coalesce(t_alive, F.lit(NEG_INF))
         cols.append(
             F.when(b_wins, side("b", c, c in b_payload))
-            .otherwise(side("t", c, c in t_payload))
+            .otherwise(F.when(t_alive.isNotNull(), side("t", c, c in t_payload)))
             .alias(c)
         )
-        wts.append(F.when(b_wins, bwt_raw).otherwise(twt_raw).cast("long").alias(f"_wt_{c}"))
-    live_wt = F.greatest(F.col("t._live_wt"), F.col("b._live_wt"))
+        wt = F.when(b_wins, bwt_raw).otherwise(t_alive).cast("long")
+        wts.append(wt.alias(f"_wt_{c}"))
+        visible = visible | wt.isNotNull()
+    t_live = F.when(F.col("t._live_wt") > kill, F.col("t._live_wt"))
+    live_wt = F.greatest(t_live, F.col("b._live_wt"))
+    visible = visible | live_wt.isNotNull()
     return joined.select(
         "conv_id",
         "turn_idx",
         *cols,
         live_wt.alias("_live_wt"),
         *wts,
-    )
+        visible.alias("_visible"),
+    ).where(F.col("_visible")).drop("_visible")

@@ -77,10 +77,22 @@ def extract_tombstones(batch: DataFrame) -> TombstoneSet:
 
 
 def union_tombstones(a: TombstoneSet, b: TombstoneSet) -> TombstoneSet:
+    """Member-wise union; None members (statically empty) cost nothing."""
+
+    def u(x, y, regroup_keys=None):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        out = x.unionByName(y)
+        if regroup_keys:
+            out = out.groupBy(*regroup_keys).agg(F.max("wt").alias("wt"))
+        return out
+
     return TombstoneSet(
-        row=a.row.unionByName(b.row).groupBy("conv_id", "turn_idx").agg(F.max("wt").alias("wt")),
-        partition=a.partition.unionByName(b.partition).groupBy("conv_id").agg(F.max("wt").alias("wt")),
-        range=a.range.unionByName(b.range),
+        row=u(a.row, b.row, ["conv_id", "turn_idx"]),
+        partition=u(a.partition, b.partition, ["conv_id"]),
+        range=u(a.range, b.range),
     )
 
 
@@ -130,25 +142,42 @@ def tomb_wt_for_keys(keys: DataFrame, tombs: TombstoneSet) -> DataFrame:
     return out.withColumn("tomb_wt", tomb).drop(*wt_cols)
 
 
-def tombstones_to_rows(tombs: TombstoneSet) -> DataFrame:
+def tombstones_to_rows(tombs: TombstoneSet, extra: DataFrame | None = None) -> DataFrame:
     """Flatten a TombstoneSet to a single storable relation (the persistent
     tombstone store — Cassandra's analog of tombstones retained until
     gc_grace, needed so an out-of-order upsert arriving in a *later* batch
-    still loses to an earlier-seen delete with a higher writetime)."""
-    d = tombs.row.select(
-        F.lit("d").alias("kind"), "conv_id",
-        F.col("turn_idx").alias("lo"), F.col("turn_idx").alias("hi"),
-        F.lit(True).alias("lo_incl"), F.lit(True).alias("hi_incl"), "wt",
-    )
-    p = tombs.partition.select(
-        F.lit("p").alias("kind"), "conv_id",
-        F.lit(None).cast("int").alias("lo"), F.lit(None).cast("int").alias("hi"),
-        F.lit(True).alias("lo_incl"), F.lit(True).alias("hi_incl"), "wt",
-    )
-    r = tombs.range.select(
-        F.lit("r").alias("kind"), "conv_id", "lo", "hi", "lo_incl", "hi_incl", "wt"
-    )
-    return d.unionByName(p).unionByName(r)
+    still loses to an earlier-seen delete with a higher writetime).
+    ``extra`` appends an already-flattened relation (e.g. folded 'd' rows
+    harvested from the key reduction)."""
+    parts = []
+    if tombs.row is not None:
+        parts.append(
+            tombs.row.select(
+                F.lit("d").alias("kind"), "conv_id",
+                F.col("turn_idx").alias("lo"), F.col("turn_idx").alias("hi"),
+                F.lit(True).alias("lo_incl"), F.lit(True).alias("hi_incl"), "wt",
+            )
+        )
+    if tombs.partition is not None:
+        parts.append(
+            tombs.partition.select(
+                F.lit("p").alias("kind"), "conv_id",
+                F.lit(None).cast("int").alias("lo"), F.lit(None).cast("int").alias("hi"),
+                F.lit(True).alias("lo_incl"), F.lit(True).alias("hi_incl"), "wt",
+            )
+        )
+    if tombs.range is not None:
+        parts.append(
+            tombs.range.select(
+                F.lit("r").alias("kind"), "conv_id", "lo", "hi", "lo_incl", "hi_incl", "wt"
+            )
+        )
+    if extra is not None:
+        parts.append(extra)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def rows_to_tombstones(df: DataFrame) -> TombstoneSet:

@@ -23,6 +23,9 @@ Scale shape of one batch (the plan .explain should show):
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -30,7 +33,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..lake.table import LakeTable
 from ..model import STATE_SCHEMA, state_schema_for
 from ..operators.dedup import dedup_events
-from ..operators.lww import finalize_state, kill_state, merge_states, reduce_upserts
+from ..operators.lww import (
+    drop_invisible,
+    finalize_state,
+    kill_state,
+    merge_states,
+    reduce_events,
+)
 from ..operators.tombstones import (
     TombstoneSet,
     extract_tombstones,
@@ -110,64 +119,109 @@ def apply_batch(target: CdcTarget, batch: DataFrame, already_deduped: bool = Fal
     decode -> R6 (reduce+merge) -> tombstone persistence (Cassandra
     gc_grace analog).
     """
+    timing = os.environ.get("CDC_APPLY_TIMING")
+    _t0 = time.time()
+
+    def _mark(step: str) -> None:
+        nonlocal _t0
+        if timing:
+            now = time.time()
+            print(f"[apply_batch] {step}: {now - _t0:.2f}s", file=sys.stderr, flush=True)
+            _t0 = now
+
     if not already_deduped:
         batch = dedup_events(batch)
     batch = batch.cache()
+    caches = [batch]
     try:
-        n_events = batch.count()  # materializes the cache
-
-        new_tombs = extract_tombstones(batch)
-        tomb_rows = tombstones_to_rows(new_tombs).cache()
-        kind_counts = {r["kind"]: r["count"] for r in tomb_rows.groupBy("kind").count().collect()}
+        # one job: total + per-op-kind event counts (materializes the cache)
+        stats = batch.agg(
+            F.count("*").alias("n"),
+            *[
+                F.coalesce(F.sum(F.when(F.col("op") == k, 1).otherwise(0)), F.lit(0)).alias(k)
+                for k in ("d", "p", "r")
+            ],
+        ).collect()[0]
+        n_events = stats["n"]
+        kind_counts = {k: stats[k] for k in ("d", "p", "r")}
         n_tombs = sum(kind_counts.values())
-        new_tombs_pruned = new_tombs.prune(kind_counts)
+        _mark("dedup+stats")
+
         stored_empty = target.tombstones.is_empty()
 
-        # --- touched buckets: batch keys + keys named by new tombstones ---
-        touched_keys = batch.select("conv_id").distinct()
-        bucket_ids = target.state.buckets_for_keys(touched_keys)
+        # conv-grain tombstones only: the row-delete ('d') kind is FOLDED
+        # into the key reduction below (same grouping key, zero extra
+        # shuffle) and applied to the target inside the merge join via
+        # _kill_wt — so every remaining tombstone join is a small
+        # broadcastable conv-grain relation.
+        new_tombs = extract_tombstones(batch).prune(kind_counts)
+        new_tombs.row = None  # 'd' is folded, never joined
 
-        # --- reduce batch upserts, survive them against ALL tombstones ----
-        reduced = reduce_upserts(batch)
-        if n_tombs == 0 and stored_empty:
-            # structural short-circuit: nothing can kill these cells; skip
-            # the tombstone joins entirely (common insert-heavy path)
-            reduced = reduced.withColumn("tomb_wt", F.lit(None).cast("long"))
+        # --- per-key reduction (i/u/d in ONE hash agg) ---------------------
+        reduced = reduce_events(batch).cache()
+        caches.append(reduced)
+
+        pr_tombs = TombstoneSet(row=None, partition=new_tombs.partition, range=new_tombs.range)
+        if stored_empty:
+            join_tombs = pr_tombs
         else:
-            if stored_empty:
-                all_tombs = new_tombs_pruned
-            else:
-                # the tombstone store is bucketed by conv_id too — read only
-                # the buckets the batch's conversations hash into
-                store_buckets = target.tombstones.buckets_for_keys(touched_keys)
-                stored = rows_to_tombstones(target.tombstones.read(buckets=store_buckets))
-                all_tombs = union_tombstones(new_tombs, stored)
-            reduced = tomb_wt_for_keys(reduced, all_tombs)
-        batch_state = finalize_state(reduced)
+            # the tombstone store is bucketed by conv_id too — read only the
+            # buckets the batch's conversations hash into
+            touched_keys = reduced.select("conv_id").distinct()
+            store_buckets = target.tombstones.buckets_for_keys(touched_keys)
+            stored = rows_to_tombstones(target.tombstones.read(buckets=store_buckets))
+            join_tombs = union_tombstones(pr_tombs, stored)
+        if join_tombs.row is None and join_tombs.partition is None and join_tombs.range is None:
+            batch_state = finalize_state(reduced)
+        else:
+            batch_state = finalize_state(tomb_wt_for_keys(reduced, join_tombs))
+
+        # --- touched buckets ------------------------------------------------
+        touched_convs = reduced.select("conv_id")
+        for rel in (new_tombs.partition, new_tombs.range):
+            if rel is not None:
+                touched_convs = touched_convs.unionByName(rel.select("conv_id"))
+        bucket_ids = target.state.buckets_for_keys(touched_convs.distinct())
+        _mark("touched-buckets")
 
         # --- kill + merge target (only touched buckets are read/rewritten)
         if target.state.is_empty():
-            merged = batch_state
+            merged = drop_invisible(batch_state)
         else:
             tgt = target.state.read(buckets=bucket_ids)
-            if n_tombs:
-                tgt = tomb_wt_for_keys(tgt, new_tombs_pruned)
-                tgt = kill_state(tgt)
+            if new_tombs.partition is not None or new_tombs.range is not None:
+                # conv-grain kills for target keys absent from the batch
+                tgt = kill_state(tomb_wt_for_keys(tgt, pr_tombs))
             merged = merge_states(tgt, batch_state)
 
         if bucket_ids:
             new_version = target.state.overwrite_buckets(merged, bucket_ids)
         else:
             new_version = target.state.current_version()
+        _mark("merge+cow-write")
 
         # --- persist new tombstones for future out-of-order batches -------
         if n_tombs:
+            d_rows = (
+                reduced.where(F.col("_d_wt").isNotNull()).select(
+                    F.lit("d").alias("kind"),
+                    "conv_id",
+                    F.col("turn_idx").alias("lo"),
+                    F.col("turn_idx").alias("hi"),
+                    F.lit(True).alias("lo_incl"),
+                    F.lit(True).alias("hi_incl"),
+                    F.col("_d_wt").alias("wt"),
+                )
+                if kind_counts["d"]
+                else None
+            )
+            tomb_rows = tombstones_to_rows(new_tombs, extra=d_rows)
             if n_tombs <= 20_000:
                 # driver-side flush, no Spark job (offset-flush analog)
                 target.tombstones.append_small([r.asDict() for r in tomb_rows.collect()])
             else:
                 target.tombstones.append(tomb_rows)
-        tomb_rows.unpersist()
+        _mark("tombstone-append")
 
         return {
             "n_events": n_events,
@@ -176,7 +230,8 @@ def apply_batch(target: CdcTarget, batch: DataFrame, already_deduped: bool = Fal
             "state_version": new_version,
         }
     finally:
-        batch.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def gc_tombstones(target: CdcTarget, writetime_horizon: int) -> int:
