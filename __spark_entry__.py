@@ -382,6 +382,132 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_schema_evolution"] = cdc_schema_evolution
 
+    # ======================================================================
+    # training-data pipeline operators (documents / embeddings tables)
+    # ======================================================================
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def _corpus(spark, sf_dir):
+        """documents + injected exact dups + near-dups (deterministic)."""
+        docs = _docs(spark, sf_dir)
+        dups = docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        near = docs.where(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near duplicate tail")).alias("text"),
+        )
+        return docs.unionByName(dups).unionByName(near)
+
+    def _embs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def docs_dedup_exact(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.text_dedup import exact_dedup
+
+        return exact_dedup(_corpus(spark, sf_dir))
+
+    q["docs_dedup_exact"] = docs_dedup_exact
+
+    def docs_dedup_jaccard(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.text_dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        return ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5, max_df=10)
+
+    q["docs_dedup_jaccard"] = docs_dedup_jaccard
+
+    def docs_minhash_lsh(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.text_dedup import (
+            minhash_lsh_candidates,
+        )
+
+        return minhash_lsh_candidates(_corpus(spark, sf_dir))
+
+    q["docs_minhash_lsh"] = docs_minhash_lsh
+
+    def docs_simhash(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.text_dedup import simhash
+
+        return simhash(_docs(spark, sf_dir))
+
+    q["docs_simhash"] = docs_simhash
+
+    def docs_quality(spark, sf_dir):
+        from debezium_connector_cassandra_spark.functions.text import quality_features
+
+        return quality_features(_docs(spark, sf_dir))
+
+    q["docs_quality"] = docs_quality
+
+    def docs_langid(spark, sf_dir):
+        from debezium_connector_cassandra_spark.functions.text import langid
+
+        return langid(_docs(spark, sf_dir))
+
+    q["docs_langid"] = docs_langid
+
+    def docs_fingerprint(spark, sf_dir):
+        from debezium_connector_cassandra_spark.functions.text import fingerprint
+
+        return fingerprint(_docs(spark, sf_dir))
+
+    q["docs_fingerprint"] = docs_fingerprint
+
+    def emb_cosine_topk(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.similarity import cosine_topk
+
+        embs = _embs(spark, sf_dir)
+        return cosine_topk(embs, embs.where(F.col("vec_id") < 8), k=5)
+
+    q["emb_cosine_topk"] = emb_cosine_topk
+
+    def emb_lsh_buckets(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            lsh_bucket_stats,
+        )
+
+        return lsh_bucket_stats(_embs(spark, sf_dir))
+
+    q["emb_lsh_buckets"] = emb_lsh_buckets
+
+    def emb_near_dups(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            embedding_near_dups,
+        )
+
+        return embedding_near_dups(_embs(spark, sf_dir), threshold=0.25)
+
+    q["emb_near_dups"] = emb_near_dups
+
+    def mm_binary_meta(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.multimodal import attach_payload
+
+        m = attach_payload(_docs(spark, sf_dir))
+        return m.select(
+            "doc_id",
+            F.col("meta.modality").alias("modality"),
+            F.col("meta.codec").alias("codec"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.content_md5").alias("content_md5"),
+        )
+
+    q["mm_binary_meta"] = mm_binary_meta
+
+    def mm_features(spark, sf_dir):
+        # Arrow mapInPandas feature extraction over binary payloads — not
+        # SQL-expressible; driver records the rows-only check.
+        from debezium_connector_cassandra_spark.operators.multimodal import (
+            attach_payload,
+            extract_features,
+        )
+
+        return extract_features(attach_payload(_docs(spark, sf_dir)))
+
+    q["mm_features"] = mm_features
+
     return q
 
 
@@ -536,5 +662,188 @@ fin AS (
 SELECT conv_id, turn_idx, role, text, tool, ts_us, meta FROM fin WHERE live OR anycell
 """
     )
+
+    # ======================================================================
+    # training-data pipeline oracles
+    # ======================================================================
+    H = "CAST(concat('0x', substr(md5({x}),1,15)) AS bigint)"
+    CORPUS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id + 200000, text || ' near duplicate tail'
+    FROM documents WHERE doc_id % 10 = 5
+)
+"""
+    SHINGLES = """
+, sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+  FROM corpus, generate_series(1, 700) t(i)
+  WHERE i <= greatest(length(text) - 4, 1)
+)
+"""
+
+    o["docs_dedup_exact"] = CORPUS + """
+SELECT md5(text) AS content_md5, min(doc_id) AS representative,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+    o["docs_dedup_jaccard"] = CORPUS + SHINGLES + """
+, kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1
+                    HAVING count(DISTINCT doc_id) <= 10)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS double) / (na.n + nb.n - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(CAST(shared AS double) / (na.n + nb.n - shared), 4) >= 0.5
+"""
+
+    o["docs_minhash_lsh"] = CORPUS + SHINGLES + f"""
+, mh AS (
+  SELECT doc_id, g.i,
+         min({H.format(x="concat(CAST(g.i AS varchar), '#', shingle)")}) AS mh
+  FROM sh, generate_series(0, 15) g(i)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, CAST(i // 4 AS int) AS band,
+         sum((mh % 1000000007) * ((i % 4) + 1)) AS band_sig
+  FROM mh GROUP BY 1, 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+    o["docs_simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {H.format(x="tok")} AS h FROM tok),
+votes AS (
+  SELECT doc_id, g.b,
+         CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM th, generate_series(0, 31) g(b)
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(v) > 0 THEN (CAST(1 AS bigint) << b) ELSE 0 END AS bv
+  FROM votes GROUP BY 1, 2
+)
+SELECT doc_id, sum(bv) AS simhash FROM bits GROUP BY 1
+"""
+
+    o["docs_quality"] = """
+WITH t AS (
+  SELECT doc_id, text,
+         len(string_split_regex(trim(text), '\\s+')) AS nt,
+         len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS nu
+  FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars_calc,
+  nt AS n_tokens,
+  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS double) / greatest(nt, 1), 4) AS mean_token_len,
+  round(CAST(len(regexp_extract_all(text, ' (the|a|and|of|to) ')) AS double) / greatest(nt, 1), 4) AS stopword_ratio,
+  nu AS n_unique_tokens,
+  round(CAST(nu AS double) / greatest(nt, 1), 4) AS ttr
+FROM t
+"""
+
+    o["docs_langid"] = """
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, ' (the|and|of) ')) AS s_en,
+    len(regexp_extract_all(text, ' (el|la|de|y) ')) AS s_es,
+    len(regexp_extract_all(text, ' (der|die|und) ')) AS s_de,
+    len(regexp_extract_all(text, ' (le|la|et|des) ')) AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+       WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+       WHEN s_de > 0 THEN 'de'
+       ELSE 'unknown' END AS pred_lang,
+  greatest(CASE WHEN s_fr > 0 THEN s_fr ELSE 0 END,
+           CASE WHEN s_es > 0 THEN s_es ELSE 0 END,
+           CASE WHEN s_en > 0 THEN s_en ELSE 0 END,
+           CASE WHEN s_de > 0 THEN s_de ELSE 0 END) AS marker_hits
+FROM s
+"""
+
+    o["docs_fingerprint"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+  FROM documents, generate_series(1, 700) t(i)
+  WHERE i <= greatest(length(text) - 4, 1)
+)
+SELECT doc_id, min({H.format(x="shingle")}) AS fp_min,
+       max({H.format(x="shingle")}) AS fp_max,
+       count(DISTINCT shingle) AS n_shingles
+FROM sh GROUP BY 1
+"""
+
+    DOT = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> CAST(x[1] AS double) * CAST(x[2] AS double)))"
+    )
+    o["emb_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({DOT.format(a="q.qv", b="c.embedding")}, 4) AS sim
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+"""
+
+    BUCKET = " + ".join(
+        f"(CASE WHEN embedding[{j * 8 + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+    o["emb_lsh_buckets"] = f"""
+SELECT CAST({BUCKET} AS bigint) AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+    o["emb_near_dups"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({BUCKET} AS bigint) AS bucket FROM embeddings
+)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round({DOT.format(a="x.embedding", b="y.embedding")}, 4) AS sim
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round({DOT.format(a="x.embedding", b="y.embedding")}, 4) >= 0.25
+"""
+
+    o["mm_binary_meta"] = """
+SELECT doc_id, 'text' AS modality, 'synthetic' AS codec,
+       CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+    # mm_features: Arrow mapInPandas path — intentionally no SQL oracle
+    # (driver records rows-only check)
 
     return o

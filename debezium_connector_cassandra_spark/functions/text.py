@@ -1,0 +1,110 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Catalyst column expressions (JVM, whole-stage codegen — no Python in
+the hot path), built on a deterministic md5-derived 60-bit hash so every
+operator has a bit-identical DuckDB oracle.
+
+Scale notes: everything here is map-only (no shuffle), so it runs at scan
+speed and composes with partition pruning; the shingle explode multiplies
+rows by ~doc length — at 100 TB, cap shingles per doc (sampling stride) and
+push the explode AFTER any selective filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# deterministic 60-bit hash both engines compute identically:
+# spark: conv(substr(md5(x),1,15),16,10)  duck: ('0x'||substr(md5(x),1,15))::bigint
+def hash64(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+HASH64_DUCK = "CAST(concat('0x', substr(md5({x}),1,15)) AS bigint)"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish regex variant is token_pieces)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_pieces(text: Column) -> Column:
+    """BPE-ish sub-word pieces: split on whitespace AND between letter/digit
+    boundaries — a cheap deterministic proxy for subword token counting."""
+    return F.split(F.trim(F.regexp_replace(text, r"(\d+)", r" $1 ")), r"\s+")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_hits(text: Column) -> Column:
+    """Count of common-English stopword occurrences (language-ID signal)."""
+    return F.regexp_count(text, F.lit(r" (the|a|and|of|to) "))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword-ratio quality features (filtering signals a
+    pretraining pipeline thresholds on)."""
+    t = F.col(text_col)
+    nt = n_tokens(t)
+    return df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_calc"),
+        nt.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(t, r"\s", "")) / F.greatest(nt, F.lit(1)), 4).alias("mean_token_len"),
+        F.round(stopword_hits(t) / F.greatest(nt, F.lit(1)), 4).alias("stopword_ratio"),
+        F.size(F.array_distinct(tokens(t))).alias("n_unique_tokens"),
+        F.round(F.size(F.array_distinct(tokens(t))) / F.greatest(nt, F.lit(1)), 4).alias("ttr"),
+    )
+
+
+LANG_MARKERS = {
+    "en": r" (the|and|of) ",
+    "es": r" (el|la|de|y) ",
+    "de": r" (der|die|und) ",
+    "fr": r" (le|la|et|des) ",
+}
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/marker-word language-ID heuristic: score marker hits per
+    language, argmax with deterministic tie-break on language code."""
+    t = F.col(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                F.regexp_count(t, F.lit(pat)).alias("score"),
+                F.lit(code).alias("lang"),
+            )
+            for code, pat in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(F.filter(scores, lambda s: s["score"] > 0))
+    return df.select(
+        "doc_id",
+        F.coalesce(best["lang"], F.lit("unknown")).alias("pred_lang"),
+        F.coalesce(best["score"], F.lit(0)).alias("marker_hits"),
+    )
+
+
+def shingles_df(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """(doc_id, shingle) exploded relation — the join key for n-gram
+    similarity. At scale: filter high-document-frequency shingles first
+    (stop-shingles) to kill the quadratic hot keys."""
+    t = F.col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    sh = F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Document fingerprint: min/max shingle hash + distinct-shingle count
+    (winnowing-lite rolling-hash fingerprint)."""
+    sh = shingles_df(df, text_col, k)
+    h = hash64(F.col("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.min(h).alias("fp_min"),
+        F.max(h).alias("fp_max"),
+        F.count_distinct(F.col("shingle")).alias("n_shingles"),
+    )

@@ -1,0 +1,131 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+All built on the deterministic md5-derived hash (functions.text.hash64) so
+each has a bit-identical DuckDB oracle; all formulated as set-oriented
+DataFrame plans that survive a 100 TB corpus:
+
+- exact:   one hash aggregation on md5(text) — map-side combine collapses
+           duplicate-heavy corpora before the shuffle.
+- jaccard: shingle-explode + equi-join on shingle. Quadratic in per-shingle
+           document frequency — at scale ALWAYS drop stop-shingles (high-DF)
+           first; provided via ``max_df``.
+- minhash: 16 min-hashes banded 4x4; candidates = pairs sharing a band
+           bucket. The band join touches only same-bucket pairs, which is
+           the scale path (vs all-pairs jaccard).
+- simhash: 32-bit majority-vote fingerprint per doc; near-dups share all
+           but <=k bits (hamming join via band rotation not included here —
+           fingerprints themselves are the deliverable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import hash64, shingles_df, tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (content md5, representative = min doc_id,
+    n_copies) for groups with more than one member."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(F.min("doc_id").alias("representative"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    k: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by character-k-gram Jaccard similarity.
+
+    ``max_df`` drops shingles appearing in more than max_df docs
+    (stop-shingles) — mandatory at scale: a shingle shared by D docs
+    contributes D^2 join rows.
+    """
+    sh = shingles_df(docs, k=k)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count_distinct("doc_id").alias("df"))
+        sh = sh.join(df_counts.where(F.col("df") <= max_df), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 5) -> DataFrame:
+    """(doc_id, i, minhash_i): min over shingles of hash64(i # shingle)."""
+    sh = shingles_df(docs, k=k)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        "shingle",
+    )
+    h = hash64(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("shingle")))
+    return seeded.groupBy("doc_id", "i").agg(F.min(h).alias("mh"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, k: int = 5
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 band bucket.
+
+    Band signature = order-weighted sum of the band's minhashes mod a prime
+    (a deterministic combiner both engines compute identically; collisions
+    only ever MERGE buckets, never split, so candidate recall is preserved).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, k)
+    band_sig = sig.groupBy(
+        "doc_id", (F.col("i") / rows).cast("int").alias("band")
+    ).agg(
+        F.sum((F.col("mh") % 1000000007) * (F.pmod(F.col("i"), F.lit(rows)) + 1)).alias("band_sig")
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: per token-hash bit, majority vote over tokens;
+    fingerprint = sum of winning bits."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = hash64(F.col("tok"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = tok.select("doc_id", h.alias("h"), bit).select(
+        "doc_id",
+        "b",
+        (F.expr("shiftright(h, b) & 1") * 2 - 1).alias("vote"),
+    )
+    bitvals = votes.groupBy("doc_id", "b").agg(
+        F.when(F.sum("vote") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bitval")
+    )
+    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
