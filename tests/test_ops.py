@@ -1,0 +1,118 @@
+"""Unit tests: decode paths (Arrow == JVM), training-data operators,
+multimodal stub contract."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from debezium_connector_cassandra_spark.functions.decode import (
+    decode_payload_arrow,
+    decode_payload_jvm,
+    encode_payload,
+    with_envelope,
+)
+from debezium_connector_cassandra_spark.operators.multimodal import (
+    attach_payload,
+    decode_media,
+    extract_features,
+    resize_stub,
+)
+from debezium_connector_cassandra_spark.operators.similarity import cosine_topk
+from debezium_connector_cassandra_spark.operators.text_dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from debezium_connector_cassandra_spark.sources.generator import gen_mutation_log
+
+
+def test_arrow_decode_matches_jvm(spark):
+    """S5 analog: the Arrow pandas-UDF payload decoder and the JVM from_json
+    decoder produce identical cells."""
+    log = gen_mutation_log(spark, 300, n_convs=20, seed=11)
+    # ts cell type complicates JSON round-trips; compare the string/long cells
+    enc = encode_payload(log)
+    via_jvm = decode_payload_jvm(enc).select(
+        "segment_id", "position", "cells.role", "cells.text", "cells.tool"
+    )
+    via_arrow = decode_payload_arrow(enc).select(
+        "segment_id", "position", "cells.role", "cells.text", "cells.tool"
+    )
+    a = sorted(via_jvm.collect(), key=lambda r: (r["segment_id"], r["position"]))
+    b = sorted(via_arrow.collect(), key=lambda r: (r["segment_id"], r["position"]))
+    assert a == b
+
+
+def test_field_exclude_only_strips_upserts(spark):
+    log = gen_mutation_log(spark, 200, n_convs=10, seed=12)
+    env = with_envelope(log, excluded_fields=("tool",))
+    ups = env.where(F.col("op").isin("i", "u")).select("cells.tool").collect()
+    assert all(r["tool"] is None for r in ups)
+
+
+DOCS = [
+    Row(doc_id=0, text="the quick brown fox jumps over the lazy dog again and again"),
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again and again plus tail"),  # near dup
+    Row(doc_id=3, text="completely different content about spark query engines at scale"),
+]
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(DOCS)
+    groups = exact_dedup(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["representative"] == 0 and groups[0]["n_copies"] == 2
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    docs = spark.createDataFrame(DOCS)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.7  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc untouched
+
+
+def test_minhash_lsh_candidates(spark):
+    docs = spark.createDataFrame(DOCS)
+    cands = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in minhash_lsh_candidates(docs).collect()}
+    assert cands[(0, 1)] == 4  # identical docs share every band
+    assert (0, 2) in cands  # near dup shares >= 1 band
+    assert (0, 3) not in cands and (1, 3) not in cands
+
+
+def test_simhash_near_dup_distance(spark):
+    docs = spark.createDataFrame(DOCS)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+
+
+def test_cosine_topk_exact(spark):
+    embs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 1.0]),
+            Row(vec_id=3, embedding=[-1.0, 0.0]),
+        ]
+    )
+    top = cosine_topk(embs, embs.where(F.col("vec_id") == 0), k=2).collect()
+    order = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert order == [1, 2]
+
+
+def test_multimodal_stub_contract(spark):
+    docs = spark.createDataFrame(DOCS)
+    media = attach_payload(docs)
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == len(DOCS[0].text.encode())
+    assert feats[0]["mean_byte"] == pytest.approx(
+        sum(DOCS[0].text.encode()) / len(DOCS[0].text.encode())
+    )
+    resized = resize_stub(media).collect()
+    assert all(r["width"] == 224 for r in resized)
+    # unknown codecs must fail loudly, not silently fake
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8", "jpeg")
