@@ -59,7 +59,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_pipeline(spark, sf: float, workdir: str, n_events: int | None = None) -> dict:
+def bench_pipeline(
+    spark,
+    sf: float,
+    workdir: str,
+    n_events: int | None = None,
+    segments_per_batch: int = 4,
+) -> dict:
     from debezium_connector_cassandra_spark.sources.generator import (
         gen_mutation_log,
         write_mutation_log,
@@ -85,7 +91,7 @@ def bench_pipeline(spark, sf: float, workdir: str, n_events: int | None = None) 
     write_mutation_log(log, log_path)
     gen_sec = time.time() - t0
 
-    runner = CdcRunner(spark, log_path, target_path, segments_per_batch=4, n_buckets=32)
+    runner = CdcRunner(spark, log_path, target_path, segments_per_batch=segments_per_batch, n_buckets=32)
     t0 = time.time()
     results = runner.run()
     apply_sec = time.time() - t0
@@ -106,6 +112,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--n-events", type=int, default=None)
+    ap.add_argument("--segments-per-batch", type=int, default=4)
     ap.add_argument("--keep-workdir", default=None)
     args = ap.parse_args()
 
@@ -115,7 +122,7 @@ def main() -> None:
 
     from debezium_connector_cassandra_spark.session import get_spark
 
-    spark = get_spark(app_name="cdc-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(app_name="cdc-bench", master=f"local[{cpus}]")
 
     t_total = time.time()
     queries: dict[str, float] = {}
@@ -124,7 +131,9 @@ def main() -> None:
 
     workdir = args.keep_workdir or tempfile.mkdtemp(prefix="cdc_bench_")
     try:
-        pipeline = bench_pipeline(spark, sf, workdir, n_events=args.n_events)
+        pipeline = bench_pipeline(
+            spark, sf, workdir, n_events=args.n_events, segments_per_batch=args.segments_per_batch
+        )
     finally:
         if not args.keep_workdir:
             shutil.rmtree(workdir, ignore_errors=True)

@@ -112,12 +112,21 @@ class CdcTarget:
         return self.state.read(version=version).select(*cols)
 
 
-def apply_batch(target: CdcTarget, batch: DataFrame, already_deduped: bool = False) -> dict:
+def apply_batch(target: CdcTarget, batch: DataFrame, strict_dedup: bool = False) -> dict:
     """Apply one decoded mutation batch to the target. Returns metrics.
 
-    Steps map to SURVEY operators: D2 (dedup) -> D3-D12 are upstream in
-    decode -> R6 (reduce+merge) -> tombstone persistence (Cassandra
-    gc_grace analog).
+    Steps map to SURVEY operators: D3-D12 are upstream in decode ->
+    R6 (reduce+merge) -> tombstone persistence (Cassandra gc_grace analog).
+
+    **Duplicate delivery needs no dedup pass here** (reference D2, offset
+    skip-check handleMutation:259-263): every aggregate in this plan —
+    per-cell max(wt,seg,pos), liveness max, tombstone max — is idempotent
+    under exact duplicates, so at-least-once delivery already yields
+    exactly-once table state. The reference needs the skip-check because its
+    downstream (ordered Kafka emission) is duplication-sensitive; a
+    set-oriented semilattice apply is not. This deletes a full-width shuffle
+    per batch. ``strict_dedup=True`` adds the explicit dropDuplicates pass
+    (useful when exact per-event metrics must not double-count).
     """
     timing = os.environ.get("CDC_APPLY_TIMING")
     _t0 = time.time()
@@ -129,12 +138,13 @@ def apply_batch(target: CdcTarget, batch: DataFrame, already_deduped: bool = Fal
             print(f"[apply_batch] {step}: {now - _t0:.2f}s", file=sys.stderr, flush=True)
             _t0 = now
 
-    if not already_deduped:
+    if strict_dedup:
         batch = dedup_events(batch)
-    batch = batch.cache()
-    caches = [batch]
+    caches = []
     try:
-        # one job: total + per-op-kind event counts (materializes the cache)
+        # one job: total + per-op-kind event counts (column-pruned scan; the
+        # batch is NOT cached — each pass over it is a pruned parquet scan,
+        # cheaper than materializing wide rows)
         stats = batch.agg(
             F.count("*").alias("n"),
             *[
@@ -145,7 +155,7 @@ def apply_batch(target: CdcTarget, batch: DataFrame, already_deduped: bool = Fal
         n_events = stats["n"]
         kind_counts = {k: stats[k] for k in ("d", "p", "r")}
         n_tombs = sum(kind_counts.values())
-        _mark("dedup+stats")
+        _mark("stats")
 
         stored_empty = target.tombstones.is_empty()
 

@@ -28,7 +28,10 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus)
+    # shuffle partitions bound partition SIZE, not just parallelism: too few
+    # partitions spill the sort/hash aggregates; AQE coalesces the excess at
+    # runtime, so err high even at low core counts
+    shuffle_partitions = shuffle_partitions or max(64, int(cpus))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -117,7 +117,7 @@ class SnapshotProcessor:
         if not self.tables_to_snapshot(mode):
             return None
         mutations = snapshot_to_mutations(source, snapshot_writetime)
-        stats = apply_batch(self.runner.target, mutations, already_deduped=True)
+        stats = apply_batch(self.runner.target, mutations)
         import time as _time
 
         self.runner.offsets.append_small(

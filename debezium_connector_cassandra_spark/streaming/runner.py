@@ -133,36 +133,46 @@ class CdcRunner:
             log = log.where(
                 (F.col("segment_id") < last) | (F.col("position") <= position_limit)
             )
+        if self.excluded_fields:
+            # D10 field-exclude rewrites cells; the full envelope (ts_ms,
+            # source, ...) is NOT built on the apply hot path — it exists for
+            # the export surface (with_envelope), the apply needs only cells
+            log = with_envelope(log, excluded_fields=self.excluded_fields).select(
+                *[c for c in log.columns]
+            )
 
-        decoded = with_envelope(log, excluded_fields=self.excluded_fields).cache()
-        n_decoded = decoded.count()
-        stats = apply_batch(self.target, decoded)
+        # one pruned-scan job feeding offsets, lineage AND the decode count
+        seg_rows = (
+            log.groupBy("segment_id", "log_partition")
+            .agg(F.count("*").alias("n"), F.max("position").alias("max_pos"))
+            .collect()
+        )
+        n_decoded = sum(r["n"] for r in seg_rows)
+
+        stats = apply_batch(self.target, log)
 
         now_ms = int(time.time() * 1000)
         # offsets: per log partition, the max (segment, position) this batch
         # has durably applied (idx-watermark analog, S4)
-        off_rows = (
-            decoded.groupBy("log_partition")
-            .agg(F.max(F.struct("segment_id", "position")).alias("w"))
-            .select("log_partition", "w.segment_id", "w.position")
-            .collect()
-        )
+        best: dict[int, tuple[int, int]] = {}
+        for r in seg_rows:
+            cur = best.get(r["log_partition"])
+            cand = (r["segment_id"], r["max_pos"])
+            if cur is None or cand > cur:
+                best[r["log_partition"]] = cand
         self.offsets.append_small(
             [
                 {
-                    "log_partition": r["log_partition"],
-                    "segment_id": r["segment_id"],
-                    "position": r["position"],
+                    "log_partition": lp,
+                    "segment_id": seg,
+                    "position": pos,
                     "updated_at": now_ms,
                 }
-                for r in off_rows
+                for lp, (seg, pos) in sorted(best.items())
             ]
         )
         # lineage: per-segment completion (EOF/archive analog, R3/R7); a
         # position-limited tail leaves the last segment un-finalized
-        lineage_rows = (
-            decoded.groupBy("segment_id", "log_partition").count().collect()
-        )
         open_segment = max(segment_ids) if position_limit is not None else None
         self.lineage.append_small(
             [
@@ -172,12 +182,11 @@ class CdcRunner:
                     "status": "reprocess" if reprocess else (
                         "open" if r["segment_id"] == open_segment else "done"
                     ),
-                    "n_events": r["count"],
+                    "n_events": r["n"],
                 }
-                for r in lineage_rows
+                for r in seg_rows
             ]
         )
-        decoded.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         self.metrics.append_small(
             [
