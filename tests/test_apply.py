@@ -181,3 +181,23 @@ def _manual_log(spark, rows):
             )
         )
     return spark.createDataFrame(out, MUTATION_LOG_SCHEMA)
+
+
+def test_tombstone_gc(spark, tmp_path):
+    """gc_grace analog: tombstones below the writetime horizon are purged;
+    state semantics unaffected for in-horizon data."""
+    from debezium_connector_cassandra_spark.plans.apply import gc_tombstones
+
+    rows = [
+        (0, 0, 0, "p", "c1", None, 5000, None),
+        (0, 16, 0, "d", "c2", 1, 9000, None),
+    ]
+    target = CdcTarget.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(target, _manual_log(spark, rows))
+    assert target.tombstones.read().count() == 2
+    gc_tombstones(target, writetime_horizon=6000)
+    kept = target.tombstones.read().collect()
+    assert len(kept) == 1 and kept[0]["wt"] == 9000
+    # the surviving tombstone still kills an out-of-order upsert
+    apply_batch(target, _manual_log(spark, [(1, 0, 1, "i", "c2", 1, 8000, ("user", "zombie", None, None))]))
+    assert target.read_transcripts().count() == 0
