@@ -65,7 +65,13 @@ def bench_pipeline(
     workdir: str,
     n_events: int | None = None,
     segments_per_batch: int = 4,
+    binary_payload: bool = False,
 ) -> dict:
+    """End-to-end pipeline bench. ``binary_payload=True`` runs the
+    full-fidelity configuration: the log carries serialized binary payloads
+    (as the reference's commit-log segments do) and the pipeline decodes
+    them (S5) before applying — the compute-dense mode used for the scaling
+    measurement."""
     from debezium_connector_cassandra_spark.sources.generator import (
         gen_mutation_log,
         write_mutation_log,
@@ -88,10 +94,21 @@ def bench_pipeline(
         seed=42,
         hot_fraction=0.05,
     )
+    log_schema = None
+    if binary_payload:
+        from debezium_connector_cassandra_spark.functions.decode import encode_payload
+
+        log = encode_payload(log)
+        log_schema = "infer"
     write_mutation_log(log, log_path)
     gen_sec = time.time() - t0
 
-    runner = CdcRunner(spark, log_path, target_path, segments_per_batch=segments_per_batch, n_buckets=32)
+    runner = CdcRunner(
+        spark, log_path, target_path,
+        segments_per_batch=segments_per_batch, n_buckets=32,
+        log_schema=log_schema,
+        decode_binary=binary_payload,
+    )
     t0 = time.time()
     results = runner.run()
     apply_sec = time.time() - t0

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north_rule: `spark-submit --py-files`).
+
+Package the engine and run any stage of the pipeline on a cluster:
+
+    zip -r dcs.zip debezium_connector_cassandra_spark
+    spark-submit --py-files dcs.zip cdc_submit.py gen    --log /lake/mutation_log --n-events 100000000
+    spark-submit --py-files dcs.zip cdc_submit.py run    --log /lake/mutation_log --target /lake/transcripts
+    spark-submit --py-files dcs.zip cdc_submit.py stream --log /lake/mutation_log --target /lake/transcripts --checkpoint /lake/_ckpt
+    spark-submit --py-files dcs.zip cdc_submit.py snapshot --source-table /lake/pre_existing --target /lake/transcripts
+    spark-submit --py-files dcs.zip cdc_submit.py show   --target /lake/transcripts
+
+In local mode the session defaults come from SPARK_GRAFT_CPUS; under a real
+cluster master the same code runs unchanged (the engine never assumes local
+mode — bucketing, AQE and broadcast decisions are cluster-native).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="cdc_submit")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic mutation log")
+    g.add_argument("--log", required=True)
+    g.add_argument("--n-events", type=int, required=True)
+    g.add_argument("--n-convs", type=int, default=None)
+    g.add_argument("--events-per-segment", type=int, default=1_000_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--hot-fraction", type=float, default=0.0)
+    g.add_argument("--dup-fraction", type=float, default=0.0)
+
+    r = sub.add_parser("run", help="drain pending segments (micro-batch loop)")
+    r.add_argument("--log", required=True)
+    r.add_argument("--target", required=True)
+    r.add_argument("--segments-per-batch", type=int, default=8)
+    r.add_argument("--n-buckets", type=int, default=64)
+    r.add_argument("--max-batches", type=int, default=None)
+
+    s = sub.add_parser("stream", help="structured-streaming tail")
+    s.add_argument("--log", required=True)
+    s.add_argument("--target", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--n-buckets", type=int, default=64)
+    s.add_argument("--continuous", action="store_true", help="keep tailing (default: drain available and stop)")
+
+    sn = sub.add_parser("snapshot", help="bootstrap from an existing table")
+    sn.add_argument("--source-table", required=True, help="parquet path of pre-existing transcripts")
+    sn.add_argument("--target", required=True)
+    sn.add_argument("--log", required=True, help="mutation-log path (for the shared offsets tables)")
+    sn.add_argument("--mode", choices=["initial", "always", "never"], default="initial")
+    sn.add_argument("--writetime", type=int, default=0)
+
+    sh = sub.add_parser("show", help="print target state summary")
+    sh.add_argument("--target", required=True)
+
+    args = ap.parse_args()
+
+    from debezium_connector_cassandra_spark.session import get_spark
+    from debezium_connector_cassandra_spark.streaming.runner import CdcRunner
+
+    spark = get_spark(app_name=f"cdc-{args.cmd}")
+
+    if args.cmd == "gen":
+        from debezium_connector_cassandra_spark.sources.generator import (
+            gen_mutation_log,
+            write_mutation_log,
+        )
+
+        df = gen_mutation_log(
+            spark,
+            args.n_events,
+            n_convs=args.n_convs or max(args.n_events // 100, 100),
+            events_per_segment=args.events_per_segment,
+            seed=args.seed,
+            hot_fraction=args.hot_fraction,
+            dup_fraction=args.dup_fraction,
+        )
+        write_mutation_log(df, args.log)
+        print(json.dumps({"generated": args.n_events, "log": args.log}))
+        return
+
+    if args.cmd == "run":
+        runner = CdcRunner(
+            spark, args.log, args.target,
+            segments_per_batch=args.segments_per_batch, n_buckets=args.n_buckets,
+        )
+        results = runner.run(max_batches=args.max_batches)
+        print(json.dumps({"batches": results}))
+        return
+
+    if args.cmd == "stream":
+        from debezium_connector_cassandra_spark.streaming.stream import CdcStream
+
+        runner = CdcRunner(spark, args.log, args.target, n_buckets=args.n_buckets)
+        stream = CdcStream(runner)
+        if args.continuous:
+            q = stream.start(args.checkpoint, available_now=False)
+            q.awaitTermination()
+        else:
+            stream.run_available(args.checkpoint)
+        print(json.dumps({"streamed": True}))
+        return
+
+    if args.cmd == "snapshot":
+        from debezium_connector_cassandra_spark.sources.snapshot import (
+            SnapshotMode,
+            SnapshotProcessor,
+        )
+
+        runner = CdcRunner(spark, args.log, args.target)
+        src = spark.read.parquet(args.source_table)
+        stats = SnapshotProcessor(runner).take(
+            src, snapshot_writetime=args.writetime, mode=SnapshotMode(args.mode)
+        )
+        print(json.dumps({"snapshot": stats}))
+        return
+
+    if args.cmd == "show":
+        from debezium_connector_cassandra_spark.plans.apply import CdcTarget
+
+        target = CdcTarget.open(spark, args.target)
+        df = target.read_transcripts()
+        print(json.dumps({
+            "rows": df.count(),
+            "version": target.state.current_version(),
+            "schema": [f.name for f in df.schema.fields],
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,7 @@ class CdcRunner:
         excluded_fields: tuple[str, ...] = (),
         schema_changes: tuple = (),
         log_schema=None,
+        decode_binary: bool = False,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -55,6 +56,7 @@ class CdcRunner:
         self.excluded_fields = excluded_fields
         self.schema_changes = list(schema_changes)
         self.log_schema = log_schema
+        self.decode_binary = decode_binary
         if LakeTable.exists(f"{target_path}/state"):
             self.target = CdcTarget.open(spark, target_path)
         else:
@@ -133,6 +135,12 @@ class CdcRunner:
             log = log.where(
                 (F.col("segment_id") < last) | (F.col("position") <= position_limit)
             )
+        if self.decode_binary:
+            # S5: the log carries serialized payload bytes (the commit-log
+            # fidelity mode) — decode into typed cells before applying
+            from ..functions.decode import decode_payload_jvm
+
+            log = decode_payload_jvm(log)
         if self.excluded_fields:
             # D10 field-exclude rewrites cells; the full envelope (ts_ms,
             # source, ...) is NOT built on the apply hot path — it exists for
