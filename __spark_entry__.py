@@ -743,7 +743,7 @@ bits AS (
          CASE WHEN sum(v) > 0 THEN (CAST(1 AS bigint) << b) ELSE 0 END AS bv
   FROM votes GROUP BY 1, 2
 )
-SELECT doc_id, sum(bv) AS simhash FROM bits GROUP BY 1
+SELECT doc_id, CAST(sum(bv) AS bigint) AS simhash FROM bits GROUP BY 1
 """
 
     o["docs_quality"] = """

@@ -88,12 +88,23 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Shingle-position cap shared by the engine AND the DuckDB oracles
+# (__spark_entry__.py uses generate_series(1, MAX_SHINGLE_POS)). Bounds the
+# explode fan-out per document — a deliberate sampling stride for very long
+# docs; both sides MUST use the same bound or similarity oracles diverge.
+MAX_SHINGLE_POS = 700
+
+
 def shingles_df(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """(doc_id, shingle) exploded relation — the join key for n-gram
     similarity. At scale: filter high-document-frequency shingles first
-    (stop-shingles) to kill the quadratic hot keys."""
+    (stop-shingles) to kill the quadratic hot keys. Positions are capped at
+    MAX_SHINGLE_POS (prefix sampling) to bound fan-out and match the oracle."""
     t = F.col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    idx = F.sequence(
+        F.lit(1),
+        F.least(F.greatest(F.length(t) - (k - 1), F.lit(1)), F.lit(MAX_SHINGLE_POS)),
+    )
     sh = F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
     return df.select("doc_id", F.explode(sh).alias("shingle"))
 

@@ -112,8 +112,19 @@ class CdcTarget:
         return self.state.read(version=version).select(*cols)
 
 
-def apply_batch(target: CdcTarget, batch: DataFrame, strict_dedup: bool = False) -> dict:
+def apply_batch(
+    target: CdcTarget,
+    batch: DataFrame,
+    strict_dedup: bool = False,
+    stats: dict | None = None,
+) -> dict:
     """Apply one decoded mutation batch to the target. Returns metrics.
+
+    ``stats`` — optional precomputed ``{"n": total, "d": ..., "p": ...,
+    "r": ...}`` event counts (the runner folds them into its narrow
+    offsets/lineage pre-scan, so the batch is scanned exactly once at full
+    width — by the reduction). When absent, a single column-pruned counting
+    job computes them here.
 
     Steps map to SURVEY operators: D3-D12 are upstream in decode ->
     R6 (reduce+merge) -> tombstone persistence (Cassandra gc_grace analog).
@@ -142,16 +153,23 @@ def apply_batch(target: CdcTarget, batch: DataFrame, strict_dedup: bool = False)
         batch = dedup_events(batch)
     caches = []
     try:
-        # one job: total + per-op-kind event counts (column-pruned scan; the
-        # batch is NOT cached — each pass over it is a pruned parquet scan,
-        # cheaper than materializing wide rows)
-        stats = batch.agg(
-            F.count("*").alias("n"),
-            *[
-                F.coalesce(F.sum(F.when(F.col("op") == k, 1).otherwise(0)), F.lit(0)).alias(k)
-                for k in ("d", "p", "r")
-            ],
-        ).collect()[0]
+        if stats is None:
+            # one job: total + per-op-kind event counts (column-pruned scan;
+            # the batch is NOT cached — a pass over it is a pruned parquet
+            # scan, cheaper than materializing wide rows)
+            stats = (
+                batch.agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.coalesce(
+                            F.sum(F.when(F.col("op") == k, 1).otherwise(0)), F.lit(0)
+                        ).alias(k)
+                        for k in ("d", "p", "r")
+                    ],
+                )
+                .collect()[0]
+                .asDict()
+            )
         n_events = stats["n"]
         kind_counts = {k: stats[k] for k in ("d", "p", "r")}
         n_tombs = sum(kind_counts.values())

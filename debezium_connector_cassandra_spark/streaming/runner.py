@@ -13,6 +13,26 @@ same at-least-once + idempotent-replay contract as the reference
 (FileOffsetWriter monotonic offsets + offset skip-check + reprocess bypass,
 R5/R8) — but here the *table state* is exactly-once by construction.
 
+Scan economy (the 100 TB shape): one batch touches the log exactly twice —
+a NARROW pre-scan (segment_id, log_partition, position, op — four small
+columns, column-pruned at the parquet reader) that yields the per-segment
+offsets/lineage stats AND the op-kind counts in a single job, then the one
+full-width pass inside apply_batch's reduction. No other job re-reads the
+batch. Bookkeeping state (done/open segments, offset watermarks) is cached
+on the runner instance — loaded once per runner lifetime, maintained
+in-memory afterwards (single-writer, like the reference's file-locked
+FileOffsetWriter) — so the steady-state loop runs zero bookkeeping-read jobs
+per batch.
+
+Offset filtering is applied ONLY to segments known to be partially applied
+(status 'open': the position-limited live tail). Fully pending segments are
+always read in full, because a global (segment, position) watermark is only
+a safe skip-filter when events were applied in watermark order — which the
+Structured Streaming front-end cannot guarantee (file delivery order is
+arbitrary). Re-applying rows is harmless (idempotent merge); *dropping*
+never-applied rows is permanent loss — so the filter is scoped to the one
+case where the invariant holds by construction.
+
 Backpressure (R2 bounded queue analog) = ``segments_per_batch``: the batch
 sizing knob bounding memory/shuffle per iteration.
 
@@ -32,8 +52,10 @@ from ..lake.table import LakeTable
 from ..model import LINEAGE_SCHEMA, METRICS_SCHEMA, OFFSETS_SCHEMA
 from ..plans.apply import CdcTarget, apply_batch
 from ..sources.generator import read_mutation_log
-from ..sources.log_scan import discover_segments, offset_filter
+from ..sources.log_scan import discover_segments
 from ..functions.decode import with_envelope
+
+_KINDS = ("d", "p", "r")
 
 
 class CdcRunner:
@@ -64,6 +86,11 @@ class CdcRunner:
         self.offsets = self._bookkeeping("_offsets", OFFSETS_SCHEMA)
         self.lineage = self._bookkeeping("_lineage", LINEAGE_SCHEMA)
         self.metrics = self._bookkeeping("_metrics", METRICS_SCHEMA)
+        # single-writer in-memory bookkeeping caches (recovered from the
+        # tables once, here; maintained incrementally afterwards)
+        self._watermarks = self._load_watermarks()
+        self._done, self._open = self._load_lineage_status()
+        self._open_positions = self._load_open_positions()
 
     def _bookkeeping(self, name: str, schema) -> LakeTable:
         path = f"{self.target_path}/{name}"
@@ -71,9 +98,8 @@ class CdcRunner:
             return LakeTable(self.spark, path)
         return LakeTable.create(self.spark, path, schema, key_col=schema.fields[0].name, n_buckets=1)
 
-    # -- checkpoint state ---------------------------------------------------
-    def checkpointed_offsets(self) -> dict[int, tuple[int, int]]:
-        """log_partition -> (segment_id, position) high-watermark (R5)."""
+    # -- checkpoint state (recovered once per runner lifetime) ---------------
+    def _load_watermarks(self) -> dict[int, tuple[int, int]]:
         if self.offsets.is_empty():
             return {}
         rows = (
@@ -85,23 +111,55 @@ class CdcRunner:
         )
         return {r["log_partition"]: (r["segment_id"], r["position"]) for r in rows}
 
-    def done_segments(self) -> set[int]:
+    def _load_lineage_status(self) -> tuple[set[int], set[int]]:
+        """(done, open) segment sets. A segment is open while it has an
+        'open' row (position-limited tail) and no completing row yet."""
         if self.lineage.is_empty():
-            return set()
+            return set(), set()
         rows = (
             self.lineage.read()
-            .where(F.col("status") == "done")
-            .select("segment_id")
-            .distinct()
+            .groupBy("segment_id")
+            .agg(F.collect_set("status").alias("statuses"))
             .collect()
         )
-        return {r["segment_id"] for r in rows}
+        done = {r["segment_id"] for r in rows if "done" in r["statuses"]}
+        open_ = {
+            r["segment_id"]
+            for r in rows
+            if "open" in r["statuses"] and "done" not in r["statuses"]
+        }
+        return done, open_
+
+    def _load_open_positions(self) -> dict[int, dict[int, int]]:
+        """For each open segment: log_partition -> max applied position."""
+        if not self._open or self.offsets.is_empty():
+            return {}
+        rows = (
+            self.offsets.read()
+            .where(F.col("segment_id").isin(*[int(s) for s in self._open]))
+            .groupBy("segment_id", "log_partition")
+            .agg(F.max("position").alias("pos"))
+            .collect()
+        )
+        out: dict[int, dict[int, int]] = {}
+        for r in rows:
+            out.setdefault(r["segment_id"], {})[r["log_partition"]] = r["pos"]
+        return out
+
+    def checkpointed_offsets(self) -> dict[int, tuple[int, int]]:
+        """log_partition -> (segment_id, position) high-watermark (R5)."""
+        return dict(self._watermarks)
+
+    def done_segments(self) -> set[int]:
+        return set(self._done)
+
+    def open_segments(self) -> set[int]:
+        return set(self._open)
 
     # -- planning -----------------------------------------------------------
     def pending_segments(self) -> list[int]:
         all_segments = discover_segments(self.log_path)
-        done = self.done_segments()
-        return [s for s in all_segments if s not in done]
+        return [s for s in all_segments if s not in self._done]
 
     # -- one batch ----------------------------------------------------------
     def run_batch(
@@ -125,16 +183,44 @@ class CdcRunner:
         log = read_mutation_log(self.spark, self.log_path, schema=self.log_schema).where(
             F.col("segment_id").isin(*[int(s) for s in segment_ids])
         )
-        offsets = self.checkpointed_offsets()
-        if offsets:
-            log = log.where(
-                offset_filter(offsets, set(segment_ids) if reprocess else None)
-            )
+        # resume-past-checkpoint filter, scoped to OPEN (partially applied)
+        # segments only — see module docstring for why a global watermark
+        # filter is unsafe
+        if not reprocess:
+            for seg, lp_pos in self._open_positions.items():
+                if seg not in segment_ids:
+                    continue
+                behind = F.lit(False)
+                for lp, pos in sorted(lp_pos.items()):
+                    behind = behind | (
+                        (F.col("log_partition") == lp) & (F.col("position") <= pos)
+                    )
+                log = log.where((F.col("segment_id") != int(seg)) | ~behind)
         if position_limit is not None:
             last = max(segment_ids)
             log = log.where(
                 (F.col("segment_id") < last) | (F.col("position") <= position_limit)
             )
+
+        # ONE narrow pre-scan job (4 pruned columns): per-segment offsets +
+        # lineage stats AND the global op-kind counts apply_batch needs —
+        # folded so the batch is never scanned a third time
+        seg_rows = (
+            log.groupBy("segment_id", "log_partition")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("position").alias("max_pos"),
+                *[
+                    F.sum((F.col("op") == k).cast("long")).alias(f"n_{k}")
+                    for k in _KINDS
+                ],
+            )
+            .collect()
+        )
+        n_decoded = sum(r["n"] for r in seg_rows)
+        batch_stats = {"n": n_decoded}
+        batch_stats.update({k: sum(r[f"n_{k}"] for r in seg_rows) for k in _KINDS})
+
         if self.decode_binary:
             # S5: the log carries serialized payload bytes (the commit-log
             # fidelity mode) — decode into typed cells before applying
@@ -149,15 +235,7 @@ class CdcRunner:
                 *[c for c in log.columns]
             )
 
-        # one pruned-scan job feeding offsets, lineage AND the decode count
-        seg_rows = (
-            log.groupBy("segment_id", "log_partition")
-            .agg(F.count("*").alias("n"), F.max("position").alias("max_pos"))
-            .collect()
-        )
-        n_decoded = sum(r["n"] for r in seg_rows)
-
-        stats = apply_batch(self.target, log)
+        stats = apply_batch(self.target, log, stats=batch_stats)
 
         now_ms = int(time.time() * 1000)
         # offsets: per log partition, the max (segment, position) this batch
@@ -179,22 +257,56 @@ class CdcRunner:
                 for lp, (seg, pos) in sorted(best.items())
             ]
         )
+        for lp, cand in best.items():
+            if self._watermarks.get(lp, (-2, -2)) < cand:
+                self._watermarks[lp] = cand
+
         # lineage: per-segment completion (EOF/archive analog, R3/R7); a
-        # position-limited tail leaves the last segment un-finalized
+        # position-limited tail leaves the last segment un-finalized. Every
+        # batch segment gets a row EVEN IF it contributed zero events (an
+        # already-drained tail or an empty segment directory) — otherwise it
+        # would stay pending forever and run() would spin.
         open_segment = max(segment_ids) if position_limit is not None else None
-        self.lineage.append_small(
-            [
-                {
-                    "segment_id": r["segment_id"],
-                    "log_partition": r["log_partition"],
-                    "status": "reprocess" if reprocess else (
-                        "open" if r["segment_id"] == open_segment else "done"
-                    ),
-                    "n_events": r["n"],
-                }
-                for r in seg_rows
-            ]
-        )
+        lineage_rows = [
+            {
+                "segment_id": r["segment_id"],
+                "log_partition": r["log_partition"],
+                "status": "reprocess" if reprocess else (
+                    "open" if r["segment_id"] == open_segment else "done"
+                ),
+                "n_events": r["n"],
+            }
+            for r in seg_rows
+        ]
+        seen_segs = {r["segment_id"] for r in seg_rows}
+        for seg in segment_ids:
+            if seg not in seen_segs and seg != open_segment:
+                lineage_rows.append(
+                    {
+                        "segment_id": int(seg),
+                        "log_partition": -1,
+                        "status": "reprocess" if reprocess else "done",
+                        "n_events": 0,
+                    }
+                )
+        self.lineage.append_small(lineage_rows)
+        if not reprocess:
+            for row in lineage_rows:
+                seg = row["segment_id"]
+                if row["status"] == "done":
+                    self._done.add(seg)
+                    self._open.discard(seg)
+                    self._open_positions.pop(seg, None)
+                elif row["status"] == "open":
+                    self._open.add(seg)
+            if open_segment is not None:
+                lp_pos = self._open_positions.setdefault(open_segment, {})
+                for r in seg_rows:
+                    if r["segment_id"] == open_segment:
+                        lp_pos[r["log_partition"]] = max(
+                            lp_pos.get(r["log_partition"], -1), r["max_pos"]
+                        )
+
         wall_ms = int((time.time() - t0) * 1000)
         self.metrics.append_small(
             [

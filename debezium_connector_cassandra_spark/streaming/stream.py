@@ -9,20 +9,29 @@ flows through ``apply_batch`` (idempotent, so Spark's at-least-once
 foreachBatch contract still yields exactly-once table state — the same
 argument as the batch runner's crash-replay story).
 
+Ordering caveat (why there is NO offset pre-filter here): the file source
+does not deliver files in (segment, position) order — with
+``maxFilesPerTrigger`` a backfill can surface segment 10 before segment 2.
+Filtering a micro-batch against a high-watermark would silently DROP rows
+of late-delivered files (Spark's checkpoint marks them consumed; they are
+never re-read) — permanent loss. Re-applying rows, by contrast, is free
+(idempotent merge). So every delivered row is applied, and lineage is
+recorded with status ``streamed`` — never ``done``, because a micro-batch
+cannot know whether it saw ALL of a segment's files. The batch front-end
+treats ``streamed`` segments as pending and re-applies them in full when
+the job switches front-ends (a bounded, idempotent re-read — the price of
+the file source's unordered delivery).
+
 Use ``Trigger.AvailableNow`` (``available_now=True``) to drain everything
 present and stop — the streaming equivalent of ``CdcRunner.run()``; omit it
 for a continuously tailing daemon like the reference.
-
-The engine's own ``_offsets`` table is still maintained (per-batch max
-(segment, position)), so a job can switch between the streaming and batch
-front-ends at any point: both resume from the same watermark.
 """
 
 from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..model import MUTATION_LOG_SCHEMA
 from ..plans.apply import apply_batch
@@ -35,21 +44,41 @@ class CdcStream:
         self.max_files_per_trigger = max_files_per_trigger
 
     def _source(self) -> DataFrame:
-        reader = self.runner.spark.readStream.schema(MUTATION_LOG_SCHEMA)
+        # mirror the runner's log configuration: an explicitly configured
+        # schema, or one inferred from the on-disk log (readStream requires
+        # a schema up front), falling back to the canonical log shape
+        schema = self.runner.log_schema
+        if schema == "infer":
+            schema = self.runner.spark.read.parquet(self.runner.log_path).schema
+        elif schema is None:
+            schema = MUTATION_LOG_SCHEMA
+        reader = self.runner.spark.readStream.schema(schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         df = reader.parquet(self.runner.log_path)
-        return df.select(*[f.name for f in MUTATION_LOG_SCHEMA.fields])
+        if "cells" not in df.columns and not self.runner.decode_binary:
+            raise ValueError(
+                "streaming source schema has no 'cells' column and decode_binary "
+                "is off — a mis-schema'd read would materialize empty state"
+            )
+        return df
 
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        # Spark replays a failed micro-batch (at-least-once); apply_batch is
-        # idempotent so the table state stays exactly-once. The engine
-        # offsets table is updated after the state commit, as in the runner.
-        offsets = self.runner.checkpointed_offsets()
-        if offsets:
-            from ..sources.log_scan import offset_filter
+        # Every delivered row is applied — no watermark pre-filter (see
+        # module docstring: filtering against out-of-order file delivery
+        # loses data; re-applying is a harmless idempotent no-op). Spark
+        # replays a failed micro-batch (at-least-once); apply_batch keeps
+        # the table state exactly-once.
+        if self.runner.decode_binary:
+            from ..functions.decode import decode_payload_jvm
 
-            batch_df = batch_df.where(offset_filter(offsets))
+            batch_df = decode_payload_jvm(batch_df)
+        if self.runner.excluded_fields:
+            from ..functions.decode import with_envelope
+
+            batch_df = with_envelope(
+                batch_df, excluded_fields=self.runner.excluded_fields
+            ).select(*[c for c in batch_df.columns])
         seg_rows = (
             batch_df.groupBy("segment_id", "log_partition")
             .agg(F.count("*").alias("n"), F.max("position").alias("max_pos"))
@@ -70,12 +99,17 @@ class CdcStream:
                 for lp, (s, p) in sorted(best.items())
             ]
         )
+        for lp, cand in best.items():
+            if self.runner._watermarks.get(lp, (-2, -2)) < cand:
+                self.runner._watermarks[lp] = cand
+        # 'streamed', never 'done': a micro-batch sees an arbitrary file
+        # subset, so segment completeness is unknowable here
         self.runner.lineage.append_small(
             [
                 {
                     "segment_id": r["segment_id"],
                     "log_partition": r["log_partition"],
-                    "status": "done",
+                    "status": "streamed",
                     "n_events": r["n"],
                 }
                 for r in seg_rows
