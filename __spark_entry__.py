@@ -382,6 +382,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_schema_evolution"] = cdc_schema_evolution
 
+    # --- multi-table / multi-keyspace capture (KeyspaceTable + SchemaHolder;
+    # reference MultipleTablesProcessingTest.java:27-106): one log interleaves
+    # two tables with DIFFERENT payload schemas; each is routed, decoded with
+    # its own cells schema (from_json via decode_table_payload) and reduced in
+    # isolation — tombstones of one table never affect the other.
+    def cdc_multi_table(spark, sf_dir):
+        from pyspark.sql import types as T
+
+        from debezium_connector_cassandra_spark.model import TableSpec
+        from debezium_connector_cassandra_spark.streaming.multi_table import (
+            decode_table_payload,
+        )
+
+        flat = _flat_log(spark, sf_dir).withColumn(
+            "tbl", F.expr("cast((event_id*23) % 2 as int)")
+        )
+        payload2 = (("a", T.StringType()), ("b", T.StringType()))
+        specs = [
+            TableSpec(keyspace="ks1", table="transcripts", payload=payload2),
+            TableSpec(keyspace="ks2", table="events", payload=payload2),
+        ]
+        # per-table cell sources: t0 = (role, text), t1 = (tool, ts-as-string)
+        cell_srcs = [
+            (("role_val", "role_set"), ("text_val", "text_set")),
+            (("tool_val", "tool_set"), ("ts_us_str", "ts_us_set")),
+        ]
+        flat = flat.withColumn("ts_us_str", F.col("ts_us_val").cast("string"))
+        is_up = F.col("op").isin("i", "u")
+        is_r = F.col("op") == "r"
+        bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
+        outs = []
+        for i, spec in enumerate(specs):
+            (a_val, a_set), (b_val, b_set) = cell_srcs[i]
+
+            def cell(v, s):
+                return F.struct(
+                    F.when(F.col(s), F.col(v)).alias("value"),
+                    F.lit(None).cast("long").alias("deletion_ts"),
+                    F.col(s).alias("set"),
+                )
+
+            cells = F.when(
+                is_up, F.struct(cell(a_val, a_set).alias("a"), cell(b_val, b_set).alias("b"))
+            )
+            log = flat.where(F.col("tbl") == i).select(
+                "segment_id",
+                "position",
+                "log_partition",
+                F.lit(spec.keyspace).alias("keyspace"),
+                F.lit(spec.table).alias("table"),
+                "op",
+                "conv_id",
+                F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+                "writetime",
+                F.when(is_up, F.encode(F.to_json(cells), "utf-8")).alias("payload"),
+                F.when(
+                    is_r,
+                    bound(
+                        F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(
+                            F.lit("EXCL_START_BOUND")
+                        ),
+                        F.col("r_lo"),
+                    ),
+                ).alias("range_start"),
+                F.when(
+                    is_r,
+                    bound(
+                        F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(
+                            F.lit("EXCL_END_BOUND")
+                        ),
+                        F.col("r_hi"),
+                    ),
+                ).alias("range_end"),
+                F.lit(1).alias("schema_version"),
+                F.lit(False).alias("snapshot"),
+            )
+            dec = decode_table_payload(log, spec)
+            st = _state_pipeline(dec, ["a", "b"], ("i", "u", "d", "p", "r"))
+            outs.append(st.select(F.lit(spec.fqtn).alias("fqtn"), "conv_id", "turn_idx", "a", "b"))
+        return outs[0].unionByName(outs[1])
+
+    q["cdc_multi_table"] = cdc_multi_table
+
     # ======================================================================
     # training-data pipeline operators (documents / embeddings tables)
     # ======================================================================
@@ -660,6 +743,50 @@ fin AS (
   FROM ups GROUP BY 1, 2
 )
 SELECT conv_id, turn_idx, role, text, tool, ts_us, meta FROM fin WHERE live OR anycell
+"""
+    )
+
+    # multi-table: per-table state with tbl routing in every grouping; table 0
+    # payload (a,b) = (role, text), table 1 = (tool, CAST(ts_us AS varchar));
+    # tombstones join within the same tbl only (isolation).
+    o["cdc_multi_table"] = _duck(
+        """
+, mt AS (
+  SELECT *,
+    CAST((event_id*23) % 2 AS int) AS tbl,
+    CASE WHEN (event_id*23) % 2 = 0 THEN 'ks1.transcripts' ELSE 'ks2.events' END AS fqtn,
+    CASE WHEN (event_id*23) % 2 = 0 THEN role_val ELSE tool_val END AS a_val,
+    CASE WHEN (event_id*23) % 2 = 0 THEN role_set ELSE tool_set END AS a_set,
+    CASE WHEN (event_id*23) % 2 = 0 THEN text_val ELSE CAST(ts_us_val AS varchar) END AS b_val,
+    CASE WHEN (event_id*23) % 2 = 0 THEN text_set ELSE ts_us_set END AS b_set
+  FROM m
+),
+ups AS (SELECT * FROM mt WHERE op IN ('i','u')),
+keys AS (SELECT DISTINCT tbl, conv_id, turn_idx FROM ups),
+tomb AS (
+  SELECT k.tbl, k.conv_id, k.turn_idx, max(t.writetime) AS tomb_wt
+  FROM keys k JOIN mt t ON t.tbl = k.tbl AND t.conv_id = k.conv_id
+   AND ((t.op = 'd' AND t.turn_idx = k.turn_idx)
+     OR (t.op = 'p')
+     OR (t.op = 'r'
+         AND (CASE WHEN t.lo_incl THEN k.turn_idx >= t.r_lo ELSE k.turn_idx > t.r_lo END)
+         AND (CASE WHEN t.hi_incl THEN k.turn_idx <= t.r_hi ELSE k.turn_idx < t.r_hi END)))
+  GROUP BY 1, 2, 3
+),
+fin AS (
+  SELECT u.fqtn, u.tbl, u.conv_id, u.turn_idx,
+    last(u.a_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.a_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS a,
+    last(u.b_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.b_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS b,
+    bool_or(u.op = 'i' AND u.writetime > coalesce(t.tomb_wt, -1)) AS live,
+    (bool_or(u.a_set AND u.writetime > coalesce(t.tomb_wt, -1))
+     OR bool_or(u.b_set AND u.writetime > coalesce(t.tomb_wt, -1))) AS anycell
+  FROM ups u LEFT JOIN tomb t
+    ON t.tbl = u.tbl AND t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
+  GROUP BY 1, 2, 3, 4
+)
+SELECT fqtn, conv_id, turn_idx, a, b FROM fin WHERE live OR anycell
 """
     )
 

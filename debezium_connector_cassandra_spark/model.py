@@ -155,6 +155,115 @@ TRANSCRIPT_SCHEMA = T.StructType(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# TableSpec — the multi-table schema descriptor (reference KeyspaceTable +
+# SchemaHolder, core/.../KeyspaceTable.java, SchemaHolder.java:18-52).
+#
+# The engine normalizes every table's rows to CANONICAL key column names
+# (conv_id = partition key rendered as string, turn_idx = clustering key as
+# int) the same way the reference normalizes mutations into its generic
+# Row{partitionKeys[], clusteringKeys[], cells[]} shape
+# (CassandraSchemaFactory.java:299-423): the LWW / tombstone algebra is
+# written once against the normalized shape, and TableSpec records the
+# logical names so the user-facing view (`denormalize`) restores them.
+# Current constraints (documented, enforced): exactly one partition key
+# (stringable) and at most one clustering key (int-orderable — required by
+# range-tombstone bounds).
+# ---------------------------------------------------------------------------
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    keyspace: str
+    table: str
+    partition_key: str = PARTITION_KEY
+    clustering_key: str = CLUSTERING_KEY
+    # ordered (name, Spark type) payload columns
+    payload: tuple = tuple(REGULAR_COLUMNS.items())
+
+    @property
+    def fqtn(self) -> str:
+        return f"{self.keyspace}.{self.table}"
+
+    @property
+    def payload_dict(self) -> dict[str, T.DataType]:
+        return dict(self.payload)
+
+    def cells_type(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(n, cell_type(t), True) for n, t in self.payload]
+        )
+
+    def state_schema(self) -> T.StructType:
+        return state_schema_for(self.payload_dict)
+
+    def normalize(self, df):
+        """Rename logical key columns -> canonical engine names."""
+        out = df
+        if self.partition_key != PARTITION_KEY:
+            out = out.withColumnRenamed(self.partition_key, PARTITION_KEY)
+        if self.clustering_key != CLUSTERING_KEY:
+            out = out.withColumnRenamed(self.clustering_key, CLUSTERING_KEY)
+        return out
+
+    def denormalize(self, df):
+        """Rename canonical key columns back to the table's logical names."""
+        out = df
+        if self.partition_key != PARTITION_KEY:
+            out = out.withColumnRenamed(PARTITION_KEY, self.partition_key)
+        if self.clustering_key != CLUSTERING_KEY:
+            out = out.withColumnRenamed(CLUSTERING_KEY, self.clustering_key)
+        return out
+
+
+TRANSCRIPTS_SPEC = TableSpec(keyspace="agents", table="transcripts")
+
+# Multi-table mutation log: key + offset scaffold shared by every table, the
+# payload serialized per-table (the commit-log fidelity shape — a segment
+# interleaves mutations of ALL cdc-enabled tables, decoded per table schema
+# exactly like the reference's CommitLogReadHandler + SchemaHolder pair).
+MULTI_TABLE_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("position", T.LongType(), False),
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("keyspace", T.StringType(), False),
+        T.StructField("table", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("writetime", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("range_start", RANGE_BOUND_TYPE, True),
+        T.StructField("range_end", RANGE_BOUND_TYPE, True),
+        T.StructField("schema_version", T.IntegerType(), False),
+        T.StructField("snapshot", T.BooleanType(), False),
+    ]
+)
+
+# Bookkeeping shapes for the multi-table runner (per-table offsets — the
+# reference emits per-table source offsets in each record's SourceInfo)
+MT_OFFSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("fqtn", T.StringType(), False),
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("position", T.LongType(), False),
+        T.StructField("updated_at", T.LongType(), False),
+    ]
+)
+
+MT_LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("fqtn", T.StringType(), False),
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
 # Bookkeeping tables (FIXTURES F6)
 OFFSETS_SCHEMA = T.StructType(
     [

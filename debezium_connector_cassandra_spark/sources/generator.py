@@ -204,6 +204,139 @@ def gen_mutation_log(
     return out
 
 
+def gen_multi_table_log(
+    spark: SparkSession,
+    specs,
+    n_events: int,
+    n_convs: int = 100,
+    max_turns: int = 30,
+    events_per_segment: int = 1000,
+    n_log_partitions: int = 2,
+    seed: int = 7,
+    op_weights: tuple[int, int, int, int, int] = (62, 18, 8, 4, 8),
+    wt_jitter_events: int = 200,
+) -> DataFrame:
+    """Multi-table commit-log analog (model.MULTI_TABLE_LOG_SCHEMA).
+
+    One totally-ordered (segment_id, position) stream interleaving mutations
+    of every table in ``specs`` — exactly the reference's shape: a commit-log
+    segment carries ALL cdc-enabled tables' mutations, each row decoded
+    against its own table schema (CommitLogReadHandler + SchemaHolder pair;
+    scenario MultipleTablesProcessingTest.java:27-106). Payload cells are
+    serialized per-table (binary), keys are pre-normalized to the canonical
+    (conv_id, turn_idx) names.
+
+    Payload values are pure hash functions of (table, event id, column), so
+    any replay oracle can recompute them independently.
+    """
+    from ..model import TableSpec  # noqa: F401 (type reference)
+    from pyspark.sql import types as T
+
+    wi, wu, wd, wp, wr = op_weights
+    total_w = wi + wu + wd + wp + wr
+    if wt_jitter_events > 511:
+        raise ValueError("wt_jitter_events must be <= 511")
+
+    df = spark.range(0, n_events, 1, spark.sparkContext.defaultParallelism)
+    gid = F.col("id")
+
+    opsel = _u("op", seed, total_w, gid)
+    op = (
+        F.when(opsel < wi, F.lit("i"))
+        .when(opsel < wi + wu, F.lit("u"))
+        .when(opsel < wi + wu + wd, F.lit("d"))
+        .when(opsel < wi + wu + wd + wp, F.lit("p"))
+        .otherwise(F.lit("r"))
+    )
+    conv_n = _u("conv", seed, n_convs, gid)
+    turn = _u("turn", seed, max_turns, gid).cast("int")
+    jitter = _u("wt", seed, 2 * wt_jitter_events, gid) - F.lit(wt_jitter_events)
+    writetime = F.lit(WT_BASE) + (gid + jitter) * F.lit(1024) + F.pmod(gid, F.lit(1024))
+    segment_id = (gid / F.lit(events_per_segment)).cast("long")
+    position = F.pmod(gid, F.lit(events_per_segment)) * F.lit(16)
+    log_partition = F.pmod(segment_id, F.lit(n_log_partitions)).cast("int")
+    table_sel = _u("tbl", seed, len(specs), gid)
+
+    is_upsert = op.isin("i", "u")
+    is_insert = op == F.lit("i")
+    is_range = op == F.lit("r")
+    lo = _u("rlo", seed, max_turns, gid).cast("int")
+    hi = F.least(lo + _u("rspan", seed, 6, gid).cast("int"), F.lit(max_turns - 1)).cast("int")
+    range_start = F.when(
+        is_range,
+        F.struct(
+            F.when(_u("rsi", seed, 2, gid) == 0, F.lit("INCL_START_BOUND"))
+            .otherwise(F.lit("EXCL_START_BOUND")).alias("method"),
+            lo.alias("turn_idx"),
+        ),
+    )
+    range_end = F.when(
+        is_range,
+        F.struct(
+            F.when(_u("rei", seed, 2, gid) == 0, F.lit("INCL_END_BOUND"))
+            .otherwise(F.lit("EXCL_END_BOUND")).alias("method"),
+            hi.alias("turn_idx"),
+        ),
+    )
+
+    def value_for(spec, idx: int, name: str, dtype) -> "F.Column":
+        tag = f"v:{spec.fqtn}:{name}"
+        h = _u(tag, seed, 1_000_000, gid)
+        if isinstance(dtype, T.StringType):
+            return F.concat(F.lit(f"{name}_"), h.cast("string"))
+        if isinstance(dtype, T.IntegerType):
+            return h.cast("int")
+        if isinstance(dtype, T.LongType):
+            return h.cast("long")
+        if isinstance(dtype, T.DoubleType):
+            return (h / F.lit(1000.0)).cast("double")
+        if isinstance(dtype, T.TimestampType):
+            return F.timestamp_micros(F.lit(WT_BASE) + h * F.lit(1_000_000))
+        if isinstance(dtype, T.BooleanType):
+            return (F.pmod(h, F.lit(2)) == 0).cast("boolean")
+        raise TypeError(f"unsupported payload type for generator: {dtype}")
+
+    parts = []
+    for i, spec in enumerate(specs):
+        rows = df.where(table_sel == i)
+        cell_structs = []
+        for idx, (name, dtype) in enumerate(spec.payload):
+            set_col = is_insert | (
+                _u(f"s:{spec.fqtn}:{name}", seed, 3, gid) > 0
+            )
+            val = value_for(spec, idx, name, dtype)
+            cell_structs.append(
+                F.struct(
+                    F.when(set_col, val).otherwise(F.lit(None).cast(dtype)).alias("value"),
+                    F.lit(None).cast("long").alias("deletion_ts"),
+                    set_col.alias("set"),
+                ).alias(name)
+            )
+        cells = F.when(is_upsert, F.struct(*cell_structs))
+        parts.append(
+            rows.select(
+                segment_id.alias("segment_id"),
+                position.alias("position"),
+                log_partition.alias("log_partition"),
+                F.lit(spec.keyspace).alias("keyspace"),
+                F.lit(spec.table).alias("table"),
+                op.alias("op"),
+                F.concat(F.lit(f"{spec.table[:1]}k_"), conv_n.cast("string")).alias("conv_id"),
+                F.when(op.isin("i", "u", "d"), turn).alias("turn_idx"),
+                writetime.alias("writetime"),
+                F.when(is_upsert, F.encode(F.to_json(cells), "utf-8")).alias("payload"),
+                range_start.alias("range_start"),
+                range_end.alias("range_end"),
+                F.lit(1).cast("int").alias("schema_version"),
+                F.lit(False).alias("snapshot"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def write_mutation_log(df: DataFrame, path: str) -> None:
     """Persist partitioned by segment_id — the commit-log directory analog.
 

@@ -1,0 +1,325 @@
+"""Multi-table / multi-keyspace capture — the reference's KeyspaceTable +
+SchemaHolder machinery re-expressed over one shared commit log.
+
+Reference shape (core/.../KeyspaceTable.java, SchemaHolder.java:18-52,
+scenario tests/.../MultipleTablesProcessingTest.java:27-106): one commit-log
+stream interleaves mutations of every cdc-enabled table; each mutation is
+decoded against ITS table's schema (SchemaHolder lookup) and routed to its
+own topic/target, while offsets advance on the shared log.
+
+Spark formulation:
+- the log (model.MULTI_TABLE_LOG_SCHEMA) carries (keyspace, table) routing
+  columns and a per-table serialized payload;
+- one NARROW pre-scan per batch (grouped by fqtn, segment, log_partition)
+  yields per-table offsets/lineage stats and per-table op-kind counts;
+- per table: filter + `from_json` decode with that table's cells schema
+  (whole-stage codegen — the multi-table analog of decode.decode_payload_jvm)
+  then the standard apply_batch into that table's own CdcTarget;
+- bookkeeping is PER TABLE (fqtn column): offsets are (fqtn, log_partition)
+  watermarks, lineage rows are (fqtn, segment) grained. A segment is globally
+  'done' when every table's apply committed — the runner marks per-table
+  lineage as each apply lands, so a crash mid-batch resumes with only the
+  un-committed tables replaying (idempotent merges make the replay a no-op
+  for tables that already applied).
+
+Snapshot table selection (S7) is the real anti-join the reference performs
+(SnapshotProcessor.getTablesToSnapshot:154-161): cdc-enabled tables MINUS
+already-snapshotted ones, as a DataFrame anti-join on the offsets table.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..lake.table import LakeTable
+from ..model import (
+    METRICS_SCHEMA,
+    MT_LINEAGE_SCHEMA,
+    MT_OFFSETS_SCHEMA,
+    MULTI_TABLE_LOG_SCHEMA,
+    TableSpec,
+)
+from ..plans.apply import CdcTarget, apply_batch
+from ..sources.log_scan import discover_segments
+
+_KINDS = ("d", "p", "r")
+
+
+def decode_table_payload(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Decode one table's serialized payload into typed cells (S5, per-table
+    schema from the SchemaHolder analog). JVM `from_json` — codegen path."""
+    return df.withColumn(
+        "cells",
+        F.from_json(
+            F.decode(F.col("payload"), "utf-8"),
+            spec.cells_type(),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+        ),
+    ).drop("payload", "keyspace", "table")
+
+
+class MultiTableRunner:
+    """CdcRunner generalized to N tables over one shared mutation log."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_path: str,
+        target_root: str,
+        specs: list[TableSpec],
+        segments_per_batch: int = 8,
+        n_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.log_path = log_path
+        self.target_root = target_root
+        self.specs: dict[str, TableSpec] = {s.fqtn: s for s in specs}
+        self.segments_per_batch = segments_per_batch
+        self.targets: dict[str, CdcTarget] = {}
+        for fqtn, spec in self.specs.items():
+            path = f"{target_root}/{fqtn}"
+            if LakeTable.exists(f"{path}/state"):
+                self.targets[fqtn] = CdcTarget.open(spark, path)
+            else:
+                self.targets[fqtn] = CdcTarget.create(
+                    spark, path, n_buckets=n_buckets, payload=spec.payload_dict
+                )
+        self.offsets = self._bookkeeping("_offsets", MT_OFFSETS_SCHEMA)
+        self.lineage = self._bookkeeping("_lineage", MT_LINEAGE_SCHEMA)
+        self.metrics = self._bookkeeping("_metrics", METRICS_SCHEMA)
+        self._done = self._load_done()
+
+    def _bookkeeping(self, name: str, schema) -> LakeTable:
+        path = f"{self.target_root}/{name}"
+        if LakeTable.exists(path):
+            return LakeTable(self.spark, path)
+        return LakeTable.create(
+            self.spark, path, schema, key_col=schema.fields[0].name, n_buckets=1
+        )
+
+    # -- recovered checkpoint state ------------------------------------------
+    def _load_done(self) -> dict[str, set[int]]:
+        """fqtn -> set of segments that table has fully applied."""
+        done: dict[str, set[int]] = {f: set() for f in self.specs}
+        if self.lineage.is_empty():
+            return done
+        rows = (
+            self.lineage.read()
+            .where(F.col("status") == "done")
+            .select("fqtn", "segment_id")
+            .distinct()
+            .collect()
+        )
+        for r in rows:
+            done.setdefault(r["fqtn"], set()).add(r["segment_id"])
+        return done
+
+    def checkpointed_offsets(self) -> dict[tuple[str, int], tuple[int, int]]:
+        """(fqtn, log_partition) -> (segment_id, position) high-watermark."""
+        if self.offsets.is_empty():
+            return {}
+        rows = (
+            self.offsets.read()
+            .groupBy("fqtn", "log_partition")
+            .agg(F.max(F.struct("segment_id", "position")).alias("w"))
+            .select("fqtn", "log_partition", "w.segment_id", "w.position")
+            .collect()
+        )
+        return {
+            (r["fqtn"], r["log_partition"]): (r["segment_id"], r["position"])
+            for r in rows
+        }
+
+    # -- planning -------------------------------------------------------------
+    def pending_segments(self) -> list[int]:
+        """Segments not yet done for EVERY table."""
+        all_segments = discover_segments(self.log_path)
+        return [
+            s
+            for s in all_segments
+            if any(s not in self._done[f] for f in self.specs)
+        ]
+
+    def _read_log(self, segment_ids: list[int]) -> DataFrame:
+        return (
+            self.spark.read.schema(MULTI_TABLE_LOG_SCHEMA)
+            .parquet(self.log_path)
+            .where(F.col("segment_id").isin(*[int(s) for s in segment_ids]))
+        )
+
+    # -- one batch --------------------------------------------------------------
+    def run_batch(self, segment_ids: list[int]) -> dict:
+        t0 = time.time()
+        batch_id = int(t0 * 1000)
+        log = self._read_log(segment_ids)
+
+        # ONE narrow pre-scan: per (table, segment, log_partition) counts,
+        # max positions, and per-kind sums — offsets + lineage + apply stats
+        seg_rows = (
+            log.groupBy("keyspace", "table", "segment_id", "log_partition")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("position").alias("max_pos"),
+                *[
+                    F.sum((F.col("op") == k).cast("long")).alias(f"n_{k}")
+                    for k in _KINDS
+                ],
+            )
+            .collect()
+        )
+        by_table: dict[str, list] = {f: [] for f in self.specs}
+        for r in seg_rows:
+            fqtn = f"{r['keyspace']}.{r['table']}"
+            if fqtn in by_table:
+                by_table[fqtn].append(r)
+
+        results = {}
+        offset_rows, lineage_rows = [], []
+        now_ms = int(time.time() * 1000)
+        for fqtn, spec in self.specs.items():
+            pending = [s for s in segment_ids if s not in self._done[fqtn]]
+            if not pending:
+                continue
+            pending_set = set(pending)
+            rows = [r for r in by_table[fqtn] if r["segment_id"] in pending_set]
+            stats = {"n": sum(r["n"] for r in rows)}
+            stats.update({k: sum(r[f"n_{k}"] for r in rows) for k in _KINDS})
+            if stats["n"]:
+                sub = log.where(
+                    (F.col("keyspace") == spec.keyspace)
+                    & (F.col("table") == spec.table)
+                    & F.col("segment_id").isin(*[int(s) for s in pending])
+                )
+                sub = decode_table_payload(sub, spec)
+                results[fqtn] = apply_batch(self.targets[fqtn], sub, stats=stats)
+            else:
+                results[fqtn] = {"n_events": 0}
+            # per-table offsets: max (segment, position) per log partition
+            best: dict[int, tuple[int, int]] = {}
+            for r in rows:
+                cand = (r["segment_id"], r["max_pos"])
+                if best.get(r["log_partition"], (-2, -2)) < cand:
+                    best[r["log_partition"]] = cand
+            offset_rows.extend(
+                {
+                    "fqtn": fqtn,
+                    "log_partition": lp,
+                    "segment_id": seg,
+                    "position": pos,
+                    "updated_at": now_ms,
+                }
+                for lp, (seg, pos) in sorted(best.items())
+            )
+            seen = {}
+            for r in rows:
+                seen.setdefault(r["segment_id"], []).append(r)
+            for seg in pending:
+                for r in seen.get(seg, []):
+                    lineage_rows.append(
+                        {
+                            "fqtn": fqtn,
+                            "segment_id": r["segment_id"],
+                            "log_partition": r["log_partition"],
+                            "status": "done",
+                            "n_events": r["n"],
+                        }
+                    )
+                if seg not in seen:  # zero rows for this table in the segment
+                    lineage_rows.append(
+                        {
+                            "fqtn": fqtn,
+                            "segment_id": int(seg),
+                            "log_partition": -1,
+                            "status": "done",
+                            "n_events": 0,
+                        }
+                    )
+                self._done[fqtn].add(seg)
+
+        self.offsets.append_small(offset_rows)
+        self.lineage.append_small(lineage_rows)
+        n_decoded = sum(r["n"] for r in seg_rows)
+        wall_ms = int((time.time() - t0) * 1000)
+        self.metrics.append_small(
+            [
+                {
+                    "batch_id": batch_id,
+                    "segment_lo": min(segment_ids),
+                    "segment_hi": max(segment_ids),
+                    "n_decoded": n_decoded,
+                    "n_deduped": n_decoded,
+                    "n_applied": n_decoded,
+                    "wall_ms": wall_ms,
+                }
+            ]
+        )
+        return {
+            "batch_id": batch_id,
+            "segments": segment_ids,
+            "n_decoded": n_decoded,
+            "wall_ms": wall_ms,
+            "tables": results,
+        }
+
+    # -- the loop -----------------------------------------------------------
+    def run(self, max_batches: int | None = None) -> list[dict]:
+        results = []
+        n = 0
+        while True:
+            pending = self.pending_segments()
+            if not pending or (max_batches is not None and n >= max_batches):
+                break
+            results.append(self.run_batch(pending[: self.segments_per_batch]))
+            n += 1
+        return results
+
+    # -- user-facing reads ----------------------------------------------------
+    def read_table(self, fqtn: str) -> DataFrame:
+        """Payload view of one table with its LOGICAL key column names."""
+        spec = self.specs[fqtn]
+        return spec.denormalize(self.targets[fqtn].read_transcripts())
+
+    # -- snapshot selection (S7, the real anti-join) ---------------------------
+    def tables_to_snapshot(self) -> list[str]:
+        """cdc-enabled tables MINUS already-snapshotted — as a DataFrame
+        anti-join against the snapshot completion markers in _offsets
+        (reference getTablesToSnapshot:154-161)."""
+        enabled = self.spark.createDataFrame(
+            [(f,) for f in self.specs], "fqtn string"
+        )
+        if self.offsets.is_empty():
+            return sorted(r["fqtn"] for r in enabled.collect())
+        snapped = self.offsets.read().where(F.col("log_partition") == -1).select("fqtn")
+        remaining = enabled.join(snapped, "fqtn", "left_anti")
+        return sorted(r["fqtn"] for r in remaining.collect())
+
+    def snapshot(self, sources: dict[str, DataFrame], snapshot_writetime: int) -> dict:
+        """Bootstrap-snapshot every not-yet-snapshotted table (S6+S7).
+
+        ``sources``: fqtn -> source DataFrame with the table's LOGICAL column
+        names. Completion markers are all-or-nothing per table (sentinel
+        log_partition=-1 rows, reference OffsetPosition.java:20-21,43-45)."""
+        from ..sources.snapshot import snapshot_to_mutations
+
+        out = {}
+        now_ms = int(time.time() * 1000)
+        for fqtn in self.tables_to_snapshot():
+            if fqtn not in sources:
+                continue
+            src = self.specs[fqtn].normalize(sources[fqtn])
+            mutations = snapshot_to_mutations(src, snapshot_writetime)
+            out[fqtn] = apply_batch(self.targets[fqtn], mutations)
+            self.offsets.append_small(
+                [
+                    {
+                        "fqtn": fqtn,
+                        "log_partition": -1,
+                        "segment_id": -1,
+                        "position": -1,
+                        "updated_at": now_ms,
+                    }
+                ]
+            )
+        return out

@@ -41,12 +41,13 @@ def _is_null(v) -> bool:
     return False
 
 
-def replay(log: pd.DataFrame) -> pd.DataFrame:
+def replay(log: pd.DataFrame, cols: list[str] | None = None) -> pd.DataFrame:
     """Replay a mutation-log DataFrame -> final transcript state.
 
-    Returns columns (conv_id, turn_idx, role, text, tool, ts) sorted by
-    (conv_id, turn_idx).
+    ``cols`` — payload column names (defaults to the transcript payload).
+    Returns columns (conv_id, turn_idx, *cols) sorted by (conv_id, turn_idx).
     """
+    cols = list(cols) if cols is not None else REGULAR_COLS
     # exact duplicate deliveries collapse (identical rows, any one works)
     log = log.drop_duplicates(subset=["conv_id", "turn_idx", "segment_id", "position", "op"])
     log = log.sort_values(["writetime", "segment_id", "position"], kind="mergesort")
@@ -65,7 +66,7 @@ def replay(log: pd.DataFrame) -> pd.DataFrame:
             key = (conv, turn)
             st = state.setdefault(key, {"cells": {}, "live_wt": None})
             cells = rec.cells
-            for col in REGULAR_COLS:
+            for col in cols:
                 c = _get(cells, col)
                 if c is None or not _get(c, "set"):
                     continue
@@ -120,9 +121,9 @@ def replay(log: pd.DataFrame) -> pd.DataFrame:
         if not live and not surviving:
             continue
         row = {"conv_id": conv, "turn_idx": turn}
-        for col in REGULAR_COLS:
+        for col in cols:
             row[col] = surviving.get(col)
         out_rows.append(row)
 
-    out = pd.DataFrame(out_rows, columns=["conv_id", "turn_idx"] + REGULAR_COLS)
+    out = pd.DataFrame(out_rows, columns=["conv_id", "turn_idx"] + cols)
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

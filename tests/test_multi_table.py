@@ -1,0 +1,168 @@
+"""Multi-table / multi-keyspace capture — mirrors the reference scenario
+tests/.../MultipleTablesProcessingTest.java:27-106 (two keyspaces x two
+tables, interleaved events in one commit log, each table's state isolated)
+plus resume and snapshot-selection (anti-join) coverage.
+"""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from debezium_connector_cassandra_spark.model import TableSpec
+from debezium_connector_cassandra_spark.sources.generator import (
+    gen_multi_table_log,
+    write_mutation_log,
+)
+from debezium_connector_cassandra_spark.streaming.multi_table import MultiTableRunner
+
+from .conftest import assert_state_equal
+from .oracle import replay
+
+SPECS = [
+    TableSpec(
+        keyspace="ks1",
+        table="transcripts",
+        partition_key="conv_id",
+        clustering_key="turn_idx",
+        payload=(
+            ("role", T.StringType()),
+            ("text", T.StringType()),
+            ("tool", T.StringType()),
+            ("ts", T.TimestampType()),
+        ),
+    ),
+    TableSpec(
+        keyspace="ks1",
+        table="events",
+        partition_key="session_id",
+        clustering_key="seq",
+        payload=(("kind", T.StringType()), ("score", T.IntegerType())),
+    ),
+    TableSpec(
+        keyspace="ks2",
+        table="runs",
+        partition_key="run_id",
+        clustering_key="step",
+        payload=(
+            ("status", T.StringType()),
+            ("latency_ms", T.LongType()),
+            ("ok", T.BooleanType()),
+        ),
+    ),
+    TableSpec(
+        keyspace="ks2",
+        table="notes",
+        partition_key="doc_id",
+        clustering_key="rev",
+        payload=(("body", T.StringType()),),
+    ),
+]
+
+
+def _decoded_pandas(spark, log_path, spec):
+    """Decode one table's slice of the raw log into a pandas frame the
+    sequential replay oracle understands (cells as dicts)."""
+    raw = (
+        spark.read.parquet(log_path)
+        .where((F.col("keyspace") == spec.keyspace) & (F.col("table") == spec.table))
+        .toPandas()
+    )
+
+    def parse(b):
+        return json.loads(bytes(b).decode("utf-8")) if b is not None else None
+
+    raw["cells"] = raw["payload"].map(parse)
+    return raw
+
+
+@pytest.fixture(scope="module")
+def mt_log(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mt") / "log")
+    log = gen_multi_table_log(
+        spark, SPECS, n_events=8000, n_convs=40, max_turns=20,
+        events_per_segment=1000, n_log_partitions=2, seed=11,
+    )
+    write_mutation_log(log, path)
+    return path
+
+
+def _oracle_for(spark, mt_log, spec):
+    cols = [n for n, _ in spec.payload]
+    pdf = _decoded_pandas(spark, mt_log, spec)
+    oracle = replay(pdf, cols=cols)
+    # JSON round-trips timestamps as ISO strings; normalize for comparison
+    for n, t in spec.payload:
+        if isinstance(t, T.TimestampType):
+            oracle[n] = pd.to_datetime(oracle[n], format="ISO8601").dt.tz_localize(None)
+    return oracle
+
+
+def test_multi_table_states_match_oracle(spark, mt_log, tmp_path):
+    runner = MultiTableRunner(
+        spark, mt_log, str(tmp_path / "tgt"), SPECS, segments_per_batch=3
+    )
+    results = runner.run()
+    assert len(results) >= 2  # 8 segments / 3 per batch
+    for spec in SPECS:
+        state = runner.targets[spec.fqtn].read_transcripts()
+        assert_state_equal(state, _oracle_for(spark, mt_log, spec))
+
+
+def test_read_table_restores_logical_key_names(spark, mt_log, tmp_path):
+    runner = MultiTableRunner(
+        spark, mt_log, str(tmp_path / "tgt"), SPECS, segments_per_batch=8
+    )
+    runner.run()
+    view = runner.read_table("ks2.runs")
+    assert view.columns[:2] == ["run_id", "step"]
+    assert set(view.columns) == {"run_id", "step", "status", "latency_ms", "ok"}
+    assert view.count() > 0
+
+
+def test_multi_table_resume_after_restart(spark, mt_log, tmp_path):
+    tgt = str(tmp_path / "tgt")
+    r1 = MultiTableRunner(spark, mt_log, tgt, SPECS, segments_per_batch=3)
+    r1.run(max_batches=1)  # apply only the first 3 segments
+    done_after_1 = {f: set(s) for f, s in r1._done.items()}
+    assert all(len(s) == 3 for s in done_after_1.values())
+
+    # fresh runner instance recovers bookkeeping from the lake and drains
+    r2 = MultiTableRunner(spark, mt_log, tgt, SPECS, segments_per_batch=8)
+    assert r2._done == done_after_1
+    r2.run()
+    for spec in SPECS:
+        state = r2.targets[spec.fqtn].read_transcripts()
+        assert_state_equal(state, _oracle_for(spark, mt_log, spec))
+    # per-table offsets advanced to the last segment for every table
+    marks = r2.checkpointed_offsets()
+    for spec in SPECS:
+        segs = {marks[(spec.fqtn, lp)][0] for lp in (0, 1) if (spec.fqtn, lp) in marks}
+        assert 7 in segs
+
+
+def test_snapshot_table_selection_anti_join(spark, mt_log, tmp_path):
+    runner = MultiTableRunner(
+        spark, mt_log, str(tmp_path / "tgt"), SPECS, segments_per_batch=8
+    )
+    assert runner.tables_to_snapshot() == sorted(s.fqtn for s in SPECS)
+
+    src = spark.createDataFrame(
+        [("s_1", 0, "boot", 1)], "session_id string, seq int, kind string, score int"
+    )
+    out = runner.snapshot({"ks1.events": src}, snapshot_writetime=1)
+    assert set(out) == {"ks1.events"}
+    # anti-join now excludes the snapshotted table
+    assert runner.tables_to_snapshot() == sorted(
+        s.fqtn for s in SPECS if s.fqtn != "ks1.events"
+    )
+    # idempotent: snapshotting again is a no-op for ks1.events
+    out2 = runner.snapshot({"ks1.events": src}, snapshot_writetime=1)
+    assert out2 == {}
+    # streamed events over the snapshot still win (higher writetimes)
+    runner.run()
+    view = runner.read_table("ks1.events")
+    boot = view.where(F.col("session_id") == "s_1").collect()
+    assert len(boot) >= 1
