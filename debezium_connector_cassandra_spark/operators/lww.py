@@ -49,26 +49,55 @@ def batch_payload_columns(batch: DataFrame) -> list[str]:
     return [f.name for f in batch.schema["cells"].dataType.fields]
 
 
+def _batch_payload_fields(batch: DataFrame) -> list[tuple[str, object]]:
+    """(name, value dtype) pairs of the batch's cells struct."""
+    return [
+        (f.name, f.dataType["value"].dataType)
+        for f in batch.schema["cells"].dataType.fields
+    ]
+
+
 def state_payload_columns(state: DataFrame) -> list[str]:
     """Payload columns of a STATE relation (flagged by their _wt_ twins)."""
     return [c[len("_wt_"):] for c in state.columns if c.startswith("_wt_")]
 
 
-def _winner(col: str) -> F.Column:
-    """Aggregate: the winning cell for one payload column."""
+def _orderable(dtype) -> bool:
+    """Spark can order any type except maps (and containers holding them)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
+def _winner(col: str, dtype=None) -> F.Column:
+    """Aggregate: the winning cell for one payload column.
+
+    Orderable payload types use ``max(when(set, struct(...)))`` (struct max —
+    proven hot path). Non-orderable payloads (map-typed cells, reference
+    MapType transform) use ``max_by(value_struct, order_struct)``: identical
+    skip-null / all-null semantics, only the ordering key must be orderable.
+    Both are O(1)-state hash aggregates with map-side partial combine.
+    """
     c = F.col("cells")[col]
-    return F.max(
-        F.when(
-            c["set"],
-            F.struct(
-                F.col("writetime").alias("wt"),
-                F.col("segment_id").alias("seg"),
-                F.col("position").alias("pos"),
-                c["value"].alias("value"),
-                c["deletion_ts"].alias("deletion_ts"),
-            ),
-        )
-    ).alias(f"_w_{col}")
+    value_struct = F.struct(
+        F.col("writetime").alias("wt"),
+        F.col("segment_id").alias("seg"),
+        F.col("position").alias("pos"),
+        c["value"].alias("value"),
+        c["deletion_ts"].alias("deletion_ts"),
+    )
+    if dtype is None or _orderable(dtype):
+        return F.max(F.when(c["set"], value_struct)).alias(f"_w_{col}")
+    order = F.when(
+        c["set"], F.struct(F.col("writetime"), F.col("segment_id"), F.col("position"))
+    )
+    return F.max_by(value_struct, order).alias(f"_w_{col}")
 
 
 def reduce_events(batch: DataFrame) -> DataFrame:
@@ -84,7 +113,7 @@ def reduce_events(batch: DataFrame) -> DataFrame:
     writetime) and ``_d_wt`` (max row-delete writetime — NULL when the batch
     has no 'd' for the key)."""
     keyed = batch.where(F.col("op").isin("i", "u", "d"))
-    aggs = [_winner(c) for c in batch_payload_columns(batch)]
+    aggs = [_winner(c, t) for c, t in _batch_payload_fields(batch)]
     aggs.append(F.max(F.when(F.col("op") == "i", F.col("writetime"))).alias("_live_wt"))
     aggs.append(F.max(F.when(F.col("op") == "d", F.col("writetime"))).alias("_d_wt"))
     return keyed.groupBy("conv_id", "turn_idx").agg(*aggs)
@@ -108,15 +137,24 @@ def reduce_events_salted(batch: DataFrame, salt_buckets: int = 16) -> DataFrame:
 
     Result is identical to reduce_events (max is associative/commutative).
     """
-    payload = batch_payload_columns(batch)
+    fields = _batch_payload_fields(batch)
     keyed = batch.where(F.col("op").isin("i", "u", "d")).withColumn(
         "_salt", F.pmod(F.xxhash64("segment_id", "position"), F.lit(salt_buckets))
     )
-    aggs = [_winner(c) for c in payload]
+    aggs = [_winner(c, t) for c, t in fields]
     aggs.append(F.max(F.when(F.col("op") == "i", F.col("writetime"))).alias("_live_wt"))
     aggs.append(F.max(F.when(F.col("op") == "d", F.col("writetime"))).alias("_d_wt"))
     partial = keyed.groupBy("conv_id", "turn_idx", "_salt").agg(*aggs)
-    final_aggs = [F.max(F.col(f"_w_{c}")).alias(f"_w_{c}") for c in payload]
+
+    def final_winner(c: str, t) -> F.Column:
+        w = F.col(f"_w_{c}")
+        if _orderable(t):
+            return F.max(w).alias(f"_w_{c}")
+        return F.max_by(
+            w, F.when(w.isNotNull(), F.struct(w["wt"], w["seg"], w["pos"]))
+        ).alias(f"_w_{c}")
+
+    final_aggs = [final_winner(c, t) for c, t in fields]
     final_aggs.append(F.max("_live_wt").alias("_live_wt"))
     final_aggs.append(F.max("_d_wt").alias("_d_wt"))
     return partial.groupBy("conv_id", "turn_idx").agg(*final_aggs)

@@ -294,6 +294,46 @@ def gen_multi_table_log(
             return F.timestamp_micros(F.lit(WT_BASE) + h * F.lit(1_000_000))
         if isinstance(dtype, T.BooleanType):
             return (F.pmod(h, F.lit(2)) == 0).cast("boolean")
+        if isinstance(dtype, (T.ByteType, T.ShortType)):
+            return F.pmod(h, F.lit(100)).cast(dtype.simpleString())
+        if isinstance(dtype, T.FloatType):
+            return (h / F.lit(100.0)).cast("float")
+        if isinstance(dtype, T.DecimalType):
+            return (h / F.lit(1000.0)).cast(dtype)
+        if isinstance(dtype, T.DateType):
+            return F.date_add(F.lit("2020-01-01").cast("date"), F.pmod(h, F.lit(3650)).cast("int"))
+        if isinstance(dtype, T.BinaryType):
+            return F.encode(F.concat(F.lit("b_"), h.cast("string")), "utf-8")
+        if isinstance(dtype, T.ArrayType):
+            n = F.pmod(h, F.lit(3)) + 1  # 1..3 elements
+            elems = [
+                F.when(
+                    F.lit(k) < n,
+                    value_for(spec, idx, f"{name}[{k}]", dtype.elementType),
+                )
+                for k in range(3)
+            ]
+            return F.filter(F.array(*elems), lambda x: x.isNotNull())
+        if isinstance(dtype, T.MapType):
+            # second key is from a disjoint space (fixed literal) so the two
+            # entries can never collide (mapKeyDedupPolicy=EXCEPTION default)
+            k0 = value_for(spec, idx, f"{name}.k0", dtype.keyType)
+            v0 = value_for(spec, idx, f"{name}.v0", dtype.valueType)
+            if isinstance(dtype.keyType, T.StringType):
+                k1 = F.lit("fixed_key")
+            elif isinstance(dtype.keyType, (T.IntegerType, T.LongType)):
+                k1 = F.lit(2_000_000).cast(dtype.keyType.simpleString())
+            else:
+                return F.create_map(k0, v0)
+            v1 = value_for(spec, idx, f"{name}.v1", dtype.valueType)
+            return F.create_map(k0, v0, k1, v1)
+        if isinstance(dtype, T.StructType):
+            return F.struct(
+                *[
+                    value_for(spec, idx, f"{name}.{f.name}", f.dataType).alias(f.name)
+                    for f in dtype.fields
+                ]
+            )
         raise TypeError(f"unsupported payload type for generator: {dtype}")
 
     parts = []
