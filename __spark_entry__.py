@@ -465,6 +465,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_multi_table"] = cdc_multi_table
 
+    # --- R4 export half: change-envelope sink rows (RecordMaker.java:58-96)
+    # one envelope per mutation + a null-valued tombstone record per row/
+    # partition delete (tombstones.on.delete, RecordMaker.java:84-95)
+    def cdc_changes_export(spark, sf_dir):
+        from debezium_connector_cassandra_spark.lake.changes import envelope_rows
+
+        log = derived_log(spark, sf_dir)
+        env = envelope_rows(log, tombstones_on_delete=True)
+        return env.select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "ts_ms",
+            "envelope_op",
+            "conv_id",
+            "turn_idx",
+            F.col("after.text.value").alias("after_text"),
+            "is_tombstone_record",
+        )
+
+    q["cdc_changes_export"] = cdc_changes_export
+
     # ======================================================================
     # training-data pipeline operators (documents / embeddings tables)
     # ======================================================================
@@ -787,6 +809,29 @@ fin AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT fqtn, conv_id, turn_idx, a, b FROM fin WHERE live OR anycell
+"""
+    )
+
+    o["cdc_changes_export"] = _duck(
+        """
+SELECT segment_id, position, log_partition,
+  CAST((writetime - (writetime % 1000)) / 1000 AS bigint) AS ts_ms,
+  CASE WHEN op = 'i' THEN 'c' WHEN op = 'u' THEN 'u'
+       WHEN op IN ('d','p') THEN 'd' ELSE 't' END AS envelope_op,
+  conv_id,
+  CASE WHEN op IN ('i','u','d') THEN turn_idx END AS turn_idx,
+  CASE WHEN op IN ('i','u') THEN text_val END AS after_text,
+  FALSE AS is_tombstone_record
+FROM m
+UNION ALL
+SELECT segment_id, position + 1, log_partition,
+  CAST((writetime - (writetime % 1000)) / 1000 AS bigint) AS ts_ms,
+  'tombstone' AS envelope_op,
+  conv_id,
+  CASE WHEN op = 'd' THEN turn_idx END AS turn_idx,
+  NULL AS after_text,
+  TRUE AS is_tombstone_record
+FROM m WHERE op IN ('d','p')
 """
     )
 

@@ -70,6 +70,8 @@ class CdcRunner:
         schema_changes: tuple = (),
         log_schema=None,
         decode_binary: bool = False,
+        export_changes: bool = False,
+        tombstones_on_delete: bool = True,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -79,6 +81,14 @@ class CdcRunner:
         self.schema_changes = list(schema_changes)
         self.log_schema = log_schema
         self.decode_binary = decode_binary
+        self.export_changes = export_changes
+        self.tombstones_on_delete = tombstones_on_delete
+        if export_changes:
+            from ..lake.changes import ChangesExport
+
+            self.changes = ChangesExport(spark, f"{target_path}/changes")
+        else:
+            self.changes = None
         if LakeTable.exists(f"{target_path}/state"):
             self.target = CdcTarget.open(spark, target_path)
         else:
@@ -306,6 +316,34 @@ class CdcRunner:
                         lp_pos[r["log_partition"]] = max(
                             lp_pos.get(r["log_partition"], -1), r["max_pos"]
                         )
+
+        # R4 export half: persist change envelopes for segments FINALIZED by
+        # this batch (complete row sets only — see lake/changes.py). A fresh
+        # unfiltered read of just those segments guarantees completeness even
+        # when the apply slice was position/offset-filtered; replays and
+        # reprocess rewrite the same partitions idempotently.
+        if self.changes is not None:
+            done_now = sorted(
+                {r["segment_id"] for r in lineage_rows if r["status"] in ("done", "reprocess")}
+            )
+            if done_now:
+                from ..lake.changes import envelope_rows
+
+                full = read_mutation_log(
+                    self.spark, self.log_path, schema=self.log_schema
+                ).where(F.col("segment_id").isin(*[int(s) for s in done_now]))
+                if self.decode_binary:
+                    from ..functions.decode import decode_payload_jvm
+
+                    full = decode_payload_jvm(full)
+                self.changes.write_segments(
+                    envelope_rows(
+                        full,
+                        excluded_fields=self.excluded_fields,
+                        tombstones_on_delete=self.tombstones_on_delete,
+                    ),
+                    done_now,
+                )
 
         wall_ms = int((time.time() - t0) * 1000)
         self.metrics.append_small(
