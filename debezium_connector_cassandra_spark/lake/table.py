@@ -208,6 +208,17 @@ class LakeTable:
             new_buckets.setdefault(str(b), []).extend(fs)
         return self._commit(m, new_buckets)
 
+    # one-small-file-per-batch appends compact when the UNBUCKETED slot
+    # exceeds this many files (bounds manifest size AND recovery-read fan-in
+    # over unbounded batch counts)
+    COMPACT_THRESHOLD = 64
+
+    # optional pandas-level rewrite applied during compaction (e.g. the
+    # offsets table keeps only per-partition watermarks — superseded rows
+    # are dead weight, exactly like the reference's offset file which holds
+    # only CURRENT values, FileOffsetWriter.java:96-119)
+    compaction_transform = None
+
     def append_small(self, rows: list[dict]) -> int:
         """Driver-side append of a handful of rows, no Spark job: one Parquet
         file written with pyarrow into the UNBUCKETED slot. This is the
@@ -215,7 +226,7 @@ class LakeTable:
         write on the driver (FileOffsetWriter.flush), made atomic by the
         manifest pointer swap. Used by the offsets/lineage/metrics tables
         and small tombstone batches; bucket-pruned reads always include the
-        unbucketed slot."""
+        unbucketed slot. Auto-compacts past COMPACT_THRESHOLD files."""
         if not rows:
             return self.current_version()
         m = self.manifest()
@@ -231,6 +242,35 @@ class LakeTable:
         pq.write_table(table, os.path.join(self.path, rel_file))
         new_buckets = {b: list(fs) for b, fs in m["buckets"].items()}
         new_buckets.setdefault(str(UNBUCKETED), []).append(rel_file)
+        v = self._commit(m, new_buckets)
+        if len(new_buckets[str(UNBUCKETED)]) > self.COMPACT_THRESHOLD:
+            v = self.compact_unbucketed()
+        return v
+
+    def compact_unbucketed(self) -> int:
+        """Merge every UNBUCKETED small file into ONE parquet file (driver-
+        side pyarrow — the files are offset-flush grain, no Spark job),
+        applying ``compaction_transform`` (pandas -> pandas) when set. Keeps
+        bookkeeping reads O(1) files regardless of batch count."""
+        m = self.manifest()
+        files = m["buckets"].get(str(UNBUCKETED), [])
+        if len(files) <= 1:
+            return m["version"]
+        schema = T.StructType.fromJson(m["schema"])
+        tables = [pq.read_table(os.path.join(self.path, f)) for f in files]
+        merged = pa.concat_tables(tables)
+        if self.compaction_transform is not None:
+            import pandas as pd  # noqa: F401
+
+            df = self.compaction_transform(merged.to_pandas())
+            merged = pa.Table.from_pandas(df, schema=_pa_schema(schema), preserve_index=False)
+        commit_id = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join("data", f"commit-{commit_id}")
+        os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+        rel_file = os.path.join(rel_dir, "compacted.parquet")
+        pq.write_table(merged, os.path.join(self.path, rel_file))
+        new_buckets = {b: list(fs) for b, fs in m["buckets"].items()}
+        new_buckets[str(UNBUCKETED)] = [rel_file]
         return self._commit(m, new_buckets)
 
     def _commit(self, base_manifest: dict, new_buckets: dict, schema: T.StructType | None = None) -> int:

@@ -47,6 +47,13 @@ from ..sources.log_scan import discover_segments
 _KINDS = ("d", "p", "r")
 
 
+def _prune_mt_offsets(df):
+    """Keep only the per-(table, log_partition) watermark row (snapshot
+    sentinel rows are each their own group's max)."""
+    df = df.sort_values(["fqtn", "log_partition", "segment_id", "position", "updated_at"])
+    return df.groupby(["fqtn", "log_partition"], as_index=False).tail(1).reset_index(drop=True)
+
+
 def decode_table_payload(df: DataFrame, spec: TableSpec) -> DataFrame:
     """Decode one table's serialized payload into typed cells (S5, per-table
     schema from the SchemaHolder analog). JVM `from_json` — codegen path."""
@@ -89,6 +96,7 @@ class MultiTableRunner:
         self.offsets = self._bookkeeping("_offsets", MT_OFFSETS_SCHEMA)
         self.lineage = self._bookkeeping("_lineage", MT_LINEAGE_SCHEMA)
         self.metrics = self._bookkeeping("_metrics", METRICS_SCHEMA)
+        self.offsets.compaction_transform = _prune_mt_offsets
         self._done = self._load_done()
 
     def _bookkeeping(self, name: str, schema) -> LakeTable:

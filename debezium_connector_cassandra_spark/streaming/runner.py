@@ -58,6 +58,14 @@ from ..functions.decode import with_envelope
 _KINDS = ("d", "p", "r")
 
 
+def _prune_offsets(df):
+    """Offsets compaction transform: keep only the max (segment_id, position)
+    row per log_partition (snapshot sentinel partitions included — their
+    single row is their own max)."""
+    df = df.sort_values(["log_partition", "segment_id", "position", "updated_at"])
+    return df.groupby("log_partition", as_index=False).tail(1).reset_index(drop=True)
+
+
 class CdcRunner:
     def __init__(
         self,
@@ -96,6 +104,10 @@ class CdcRunner:
         self.offsets = self._bookkeeping("_offsets", OFFSETS_SCHEMA)
         self.lineage = self._bookkeeping("_lineage", LINEAGE_SCHEMA)
         self.metrics = self._bookkeeping("_metrics", METRICS_SCHEMA)
+        # superseded offsets are dead weight — compaction keeps only the
+        # per-partition watermark (the reference's offset FILE likewise holds
+        # only current values, FileOffsetWriter.java:96-119)
+        self.offsets.compaction_transform = _prune_offsets
         # single-writer in-memory bookkeeping caches (recovered from the
         # tables once, here; maintained incrementally afterwards)
         self._watermarks = self._load_watermarks()
