@@ -602,14 +602,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_binary_meta"] = mm_binary_meta
 
     def mm_features(spark, sf_dir):
-        # Arrow mapInPandas feature extraction over binary payloads — not
-        # SQL-expressible; driver records the rows-only check.
+        # Arrow mapInPandas feature extraction over binary payloads; the
+        # synthetic corpus is ASCII so byte stats ARE SQL-expressible — the
+        # oracle recomputes them from code points. Floats rounded to 4dp on
+        # both sides (summation-order FP noise).
         from debezium_connector_cassandra_spark.operators.multimodal import (
             attach_payload,
             extract_features,
         )
 
-        return extract_features(attach_payload(_docs(spark, sf_dir)))
+        feats = extract_features(attach_payload(_docs(spark, sf_dir)))
+        return feats.select(
+            "doc_id",
+            "n_bytes",
+            F.round("mean_byte", 4).alias("mean_byte"),
+            F.round("byte_entropy", 4).alias("byte_entropy"),
+        )
 
     q["mm_features"] = mm_features
 
@@ -969,6 +977,24 @@ SELECT doc_id, min({H.format(x="shingle")}) AS fp_min,
 FROM sh GROUP BY 1
 """
 
+    # mm_features: the corpus is ASCII (verified), so payload bytes == code
+    # points; entropy/mean recomputed relationally from per-byte counts
+    o["mm_features"] = """
+WITH bytes AS (
+  SELECT doc_id, ord(substr(text, i, 1)) AS b
+  FROM documents, generate_series(1, 700) t(i)
+  WHERE i <= length(text)
+),
+counts AS (SELECT doc_id, b, count(*) AS n FROM bytes GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(n) AS bigint) AS n_bytes FROM counts GROUP BY 1)
+SELECT t.doc_id, t.n_bytes,
+       round(sum(c.b * c.n) / CAST(t.n_bytes AS double), 4) AS mean_byte,
+       round(-sum((CAST(c.n AS double) / t.n_bytes)
+                  * log2(CAST(c.n AS double) / t.n_bytes)), 4) AS byte_entropy
+FROM counts c JOIN tot t USING (doc_id)
+GROUP BY 1, 2
+"""
+
     DOT = (
         "list_sum(list_transform(list_zip({a}, {b}), "
         "x -> CAST(x[1] AS double) * CAST(x[2] AS double)))"
@@ -998,14 +1024,29 @@ SELECT CAST({BUCKET} AS bigint) AS bucket, count(*) AS n_vectors
 FROM embeddings GROUP BY 1
 """
 
+    def _band_bucket_sql(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN embedding[{j * 8 + band * 2 + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(8)
+        )
+
+    BANDED = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, CAST({_band_bucket_sql(b)} AS bigint) AS bucket FROM embeddings"
+        for b in range(4)
+    )
     o["emb_near_dups"] = f"""
-WITH b AS (
-  SELECT vec_id, embedding, CAST({BUCKET} AS bigint) AS bucket FROM embeddings
+WITH banded AS ({BANDED}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
-SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       round({DOT.format(a="x.embedding", b="y.embedding")}, 4) AS sim
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE round({DOT.format(a="x.embedding", b="y.embedding")}, 4) >= 0.25
+SELECT c.id_a, c.id_b,
+       round({DOT.format(a="a.embedding", b="b.embedding")}, 4) AS sim
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.id_a
+JOIN embeddings b ON b.vec_id = c.id_b
+WHERE round({DOT.format(a="a.embedding", b="b.embedding")}, 4) >= 0.25
 """
 
     o["mm_binary_meta"] = """

@@ -65,22 +65,34 @@ def cosine_topk(
     )
 
 
+def _band_bucket(vec_col: str, n_planes: int, band: int) -> Column:
+    """Sign-LSH bucket id for one band: bit j = sign of coordinate
+    j*stride + band*2 (axis-aligned hyperplanes — deterministic,
+    oracle-friendly; random rotations would be the production choice).
+    Distinct bands read disjoint coordinate sets, so they are independent
+    hash tables in the classic multi-probe LSH sense."""
+    v = F.col(vec_col)
+    stride = 64 // n_planes
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        bit = F.when(
+            F.element_at(v, j * stride + band * 2 + 1) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
 def lsh_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    band: int = 0,
 ) -> DataFrame:
-    """Sign-LSH bucket id: bit j = sign of coordinate j*stride (axis-aligned
-    hyperplanes — deterministic, oracle-friendly; random rotations would be
-    the production choice). Returns (vec_id, bucket)."""
-    v = F.col(vec_col)
-    stride = 64 // n_planes
-    bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
-        bit = F.when(F.element_at(v, j * stride + 1) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+    """Single-band sign-LSH bucketing. Returns (vec_id, bucket)."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), _band_bucket(vec_col, n_planes, band).alias("bucket")
+    )
 
 
 def lsh_bucket_stats(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
@@ -96,19 +108,50 @@ def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed: only same-bucket
-    pairs are scored (the scale path for near-dup detection over embedding
-    columns)."""
-    b = lsh_buckets(embeddings, n_planes)
-    e = embeddings.join(b, embeddings["vec_id"] == b["vec_id"]).select(
-        embeddings["vec_id"].alias("id"), F.col("embedding").alias("vec"), "bucket"
+    """Embedding-cosine near-duplicate pairs via MULTI-BAND sign-LSH.
+
+    B independent bands (disjoint plane sets) each bucket every vector; a
+    pair is a candidate if it collides in ANY band; candidates are deduped
+    (DISTINCT on the pair) before the one scoring pass. Versus a single
+    band this (a) multiplies recall — a near-dup pair only needs sign
+    agreement in one of B tables — and (b) multiplies shuffle parallelism
+    to B * 2^P groups while SHRINKING per-bucket quadratic cost (per-band
+    buckets are the same size, but the join key space is B x larger, so
+    skewed buckets split across bands instead of serializing on 256 keys).
+    This is the same band-bucket-join shape the MinHash-LSH text path uses.
+    """
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = e.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_bucket("vec", n_planes, b).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x, y = banded.alias("x"), banded.alias("y")
+    candidates = (
+        x.join(y, ["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
     )
-    x = e.alias("x")
-    y = e.alias("y")
+    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b_ = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
-        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
-        .withColumn("sim", F.round(_dot(F.col("x.vec"), F.col("y.vec")), 4))
+        candidates.join(a, "id_a")
+        .join(b_, "id_b")
+        .withColumn("sim", F.round(_dot(F.col("vec_a"), F.col("vec_b")), 4))
         .where(F.col("sim") >= threshold)
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "sim")
+        .select("id_a", "id_b", "sim")
     )
