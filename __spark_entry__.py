@@ -487,6 +487,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_changes_export"] = cdc_changes_export
 
+    # --- D9 full form: unpaired bound markers paired in log order, then the
+    # full state build — must equal the paired-log full state exactly
+    # (RangeTombstoneContext.java:20-40 semantics)
+    def cdc_unpaired_markers(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.tombstones import (
+            pair_range_markers,
+        )
+        from debezium_connector_cassandra_spark.sources.generator import (
+            split_range_markers,
+        )
+
+        log = derived_log(spark, sf_dir)
+        paired = pair_range_markers(split_range_markers(log))
+        return _state_pipeline(paired, payload, ("i", "u", "d", "p", "r"))
+
+    q["cdc_unpaired_markers"] = cdc_unpaired_markers
+
     # ======================================================================
     # training-data pipeline operators (documents / embeddings tables)
     # ======================================================================
@@ -705,6 +722,9 @@ FROM m GROUP BY 1
     o["cdc_partition_deletes"] = _duck(_oracle_state_sql("iudp"))
     o["cdc_range_tombstones"] = _duck(_oracle_state_sql("iur"))
     o["cdc_full_state"] = _duck(_oracle_state_sql("iudpr"))
+    # splitting + re-pairing bound markers must reconstruct the exact
+    # paired-log semantics, so the oracle IS the full-state oracle
+    o["cdc_unpaired_markers"] = _duck(_oracle_state_sql("iudpr"))
 
     # field exclude: same as full state but tool cells never set
     o["cdc_field_exclude"] = _duck(

@@ -96,6 +96,45 @@ def union_tombstones(a: TombstoneSet, b: TombstoneSet) -> TombstoneSet:
     )
 
 
+def pair_range_markers(log: DataFrame) -> DataFrame:
+    """D9 full form — pair UNPAIRED range-tombstone bound markers.
+
+    Cassandra emits range deletions as separate bound markers in commit-log
+    order (start marker, then end marker for the same partition); the
+    reference accumulates the start until its end arrives
+    (RangeTombstoneContext.java:20-40, handleRangeTombstoneBoundMarker
+    Cassandra4CommitLogReadHandlerImpl.java:461-511). Input op='r' rows carry
+    exactly ONE of range_start / range_end; all other ops pass through.
+
+    Spark formulation: markers of one partition key pair by log order —
+    lag(range_start) over (conv_id ORDER BY segment_id, position) pulls each
+    end marker's preceding start marker; the paired event keeps the END
+    marker's (writetime, segment, position) identity. Only op='r' rows enter
+    the window shuffle (a small fraction of the stream); scope is one batch,
+    matching the reference's per-commit-log pairing context. Malformed
+    streams (end with no preceding start, dangling start) drop, as the
+    reference logs-and-skips.
+    """
+    from pyspark.sql import Window as W
+
+    markers = log.where(F.col("op") == "r")
+    rest = log.where(F.col("op") != "r")
+    w = W.partitionBy("conv_id").orderBy("segment_id", "position")
+    prev_start = F.lag(F.col("range_start")).over(w)
+    prev_was_start = F.lag(F.col("range_start").isNotNull()).over(w)
+    paired = (
+        markers.withColumn("_prev_start", prev_start)
+        .withColumn("_prev_is_start", prev_was_start)
+        .where(
+            F.col("range_end").isNotNull()
+            & F.coalesce(F.col("_prev_is_start"), F.lit(False))
+        )
+        .withColumn("range_start", F.col("_prev_start"))
+        .drop("_prev_start", "_prev_is_start")
+    )
+    return rest.unionByName(paired)
+
+
 def range_covers(lo, hi, lo_incl, hi_incl, turn) -> "F.Column":
     """Bound predicate with inclusivity methods (reference RangeData bound
     kinds, CassandraSchemaFactory.java:347-423)."""

@@ -377,6 +377,23 @@ def gen_multi_table_log(
     return out
 
 
+def split_range_markers(log: DataFrame) -> DataFrame:
+    """Rewrite paired op='r' rows into UNPAIRED bound-marker rows (the
+    commit-log fidelity shape: Cassandra emits start and end markers as
+    separate events; reference RangeTombstoneContext pairs them). The start
+    marker keeps the row's position, the end marker lands at position+8
+    (positions stride 16, so the slot is free and total order is preserved).
+    """
+    r = log.where(F.col("op") == "r")
+    rest = log.where(F.col("op") != "r")
+    null_bound = F.lit(None).cast("struct<method:string,turn_idx:int>")
+    starts = r.withColumn("range_end", null_bound)
+    ends = r.withColumn("range_start", null_bound).withColumn(
+        "position", F.col("position") + F.lit(8)
+    )
+    return rest.unionByName(starts).unionByName(ends)
+
+
 def write_mutation_log(df: DataFrame, path: str) -> None:
     """Persist partitioned by segment_id — the commit-log directory analog.
 

@@ -80,6 +80,7 @@ class CdcRunner:
         decode_binary: bool = False,
         export_changes: bool = False,
         tombstones_on_delete: bool = True,
+        unpaired_range_markers: bool = False,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -91,6 +92,7 @@ class CdcRunner:
         self.decode_binary = decode_binary
         self.export_changes = export_changes
         self.tombstones_on_delete = tombstones_on_delete
+        self.unpaired_range_markers = unpaired_range_markers
         if export_changes:
             from ..lake.changes import ChangesExport
 
@@ -243,6 +245,12 @@ class CdcRunner:
         batch_stats = {"n": n_decoded}
         batch_stats.update({k: sum(r[f"n_{k}"] for r in seg_rows) for k in _KINDS})
 
+        if self.unpaired_range_markers:
+            # D9 full form: the log carries separate start/end bound markers;
+            # pair them (per conv, log order) before the apply sees them
+            from ..operators.tombstones import pair_range_markers
+
+            log = pair_range_markers(log)
         if self.decode_binary:
             # S5: the log carries serialized payload bytes (the commit-log
             # fidelity mode) — decode into typed cells before applying
