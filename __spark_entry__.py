@@ -86,9 +86,21 @@ def _derive_sql(dialect: dict) -> str:
     return _DERIVE.format(**dialect)
 
 
+# derived flat log, cached per (session, sf_dir): every CDC query projects
+# from this base, so materializing it once cuts the per-query derivation cost
+# for the driver's 15+ CDC correctness queries and the local test suite alike
+_FLAT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    cached = _FLAT_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
-    return spark.sql(_derive_sql(_SPARK) + "SELECT * FROM m")
+    df = spark.sql(_derive_sql(_SPARK) + "SELECT * FROM m").persist()
+    _FLAT_CACHE[key] = df
+    return df
 
 
 def _cells(include_meta: bool = False) -> F.Column:

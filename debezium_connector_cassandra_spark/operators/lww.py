@@ -238,9 +238,46 @@ def kill_state(state: DataFrame) -> DataFrame:
     return out.where(F.col("_visible")).drop("_visible")
 
 
+def validate_unique_writetimes(batch: DataFrame) -> None:
+    """Assert the cross-batch tie-break precondition (see merge_states):
+    no two upsert events of the same key share a writetime. One extra
+    aggregation job — opt-in (CdcRunner(validate_writetimes=True) / tests),
+    never on the default hot path."""
+    dup = (
+        batch.where(F.col("op").isin("i", "u"))
+        .groupBy("conv_id", "turn_idx", "writetime")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        r = dup[0]
+        raise ValueError(
+            "duplicate writetime violates the cross-batch LWW tie-break "
+            f"precondition: key=({r['conv_id']}, {r['turn_idx']}) "
+            f"writetime={r['writetime']} (x{r['count']})"
+        )
+
+
 def merge_states(target: DataFrame, batch: DataFrame) -> DataFrame:
     """Full-outer cell-level merge of a STATE target with a finalized batch
     (which carries ``_kill_wt``) on the primary key.
+
+    **Equal-writetime precondition**: within ONE batch, ties break on
+    (writetime, segment, position) — order-insensitive and exact. ACROSS
+    batches, the state persists only the flat ``_wt_<col>`` long (so schema
+    evolution stays metadata-only), so an equal-writetime conflict between a
+    new batch and already-merged state resolves batch-wins (>=) — exact for
+    replays/duplicates (identical values), but order-sensitive if two
+    DIFFERENT values of one cell share a writetime AND arrive in different
+    batches. Cassandra itself breaks such ties by value comparison; real
+    writetimes are microsecond-grain and per-key monotone per coordinator,
+    making cross-batch collisions pathological. The engine therefore
+    documents the precondition (unique writetimes per (key, column) across
+    the stream — the synthetic generator guarantees it by construction) and
+    offers ``validate_unique_writetimes`` as an opt-in check instead of
+    widening every state row.
 
     The batch's per-key kill writetime is applied to the target side INSIDE
     the merge join — no separate row-tombstone join against the target.

@@ -81,6 +81,7 @@ class CdcRunner:
         export_changes: bool = False,
         tombstones_on_delete: bool = True,
         unpaired_range_markers: bool = False,
+        validate_writetimes: bool = False,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -93,6 +94,7 @@ class CdcRunner:
         self.export_changes = export_changes
         self.tombstones_on_delete = tombstones_on_delete
         self.unpaired_range_markers = unpaired_range_markers
+        self.validate_writetimes = validate_writetimes
         if export_changes:
             from ..lake.changes import ChangesExport
 
@@ -265,6 +267,10 @@ class CdcRunner:
                 *[c for c in log.columns]
             )
 
+        if self.validate_writetimes:
+            from ..operators.lww import validate_unique_writetimes
+
+            validate_unique_writetimes(log)
         stats = apply_batch(self.target, log, stats=batch_stats)
 
         now_ms = int(time.time() * 1000)

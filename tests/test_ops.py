@@ -116,3 +116,23 @@ def test_multimodal_stub_contract(spark):
     # unknown codecs must fail loudly, not silently fake
     with pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8", "jpeg")
+
+
+def test_validate_unique_writetimes(spark):
+    from debezium_connector_cassandra_spark.operators.lww import (
+        validate_unique_writetimes,
+    )
+
+    ok = spark.createDataFrame(
+        [("i", "c1", 1, 100), ("u", "c1", 1, 101), ("u", "c2", 1, 100)],
+        "op string, conv_id string, turn_idx int, writetime long",
+    )
+    validate_unique_writetimes(ok)  # no raise
+    bad = spark.createDataFrame(
+        [("i", "c1", 1, 100), ("u", "c1", 1, 100)],
+        "op string, conv_id string, turn_idx int, writetime long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate writetime"):
+        validate_unique_writetimes(bad)
