@@ -295,6 +295,42 @@ class LakeTable:
         schema = T.StructType(schema.fields + [T.StructField(name, dtype, True)])
         return self._commit(m, m["buckets"], schema=schema)
 
+    # safe metadata-only type widenings (verified against this Spark
+    # version's parquet reader: old int32/float files read back under the
+    # widened schema without rewrite — Iceberg's type-promotion rules)
+    _WIDENINGS = {  # keys/values are DataType.simpleString() names
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+    }
+
+    def alter_column_type(self, name: str, dtype: T.DataType) -> int:
+        """Iceberg-style ALTER COLUMN TYPE: metadata-only commit for safe
+        widenings (int->long, int->double, float->double, ...); existing
+        files are read under the widened schema by parquet type promotion.
+        Raises for narrowing / unsupported pairs."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        if name not in schema.fieldNames():
+            raise ValueError(f"no such column: {name!r}")
+        old = schema[name].dataType
+        if old == dtype:
+            return m["version"]
+        if dtype.simpleString() not in self._WIDENINGS.get(old.simpleString(), set()):
+            raise ValueError(
+                f"unsupported type change {old.simpleString()} -> "
+                f"{dtype.simpleString()} for column {name!r} (only safe "
+                "widenings are metadata-only; others would need a rewrite)"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(name, dtype, f.nullable) if f.name == name else f
+                for f in schema.fields
+            ]
+        )
+        return self._commit(m, m["buckets"], schema=new_schema)
+
     # -- maintenance -------------------------------------------------------
     def buckets_for_keys(self, keys_df: DataFrame, key_col: str | None = None) -> list[int]:
         """Distinct bucket ids a key relation touches (drives COW pruning).

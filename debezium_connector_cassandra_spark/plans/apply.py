@@ -100,6 +100,11 @@ class CdcTarget:
         self.state.add_column(name, dtype)
         return self.state.add_column(f"_wt_{name}", T.LongType())
 
+    def alter_payload_column(self, name: str, dtype: T.DataType) -> int:
+        """R9 ALTER TYPE (onTableUpdated with a type change): metadata-only
+        widening of a payload column; the _wt_ twin is unaffected."""
+        return self.state.alter_column_type(name, dtype)
+
     def read_transcripts(self, version: int | None = None) -> DataFrame:
         """User-facing view: payload columns only, reconciliation metadata
         dropped (per-row invariant surface: per-turn text equality under

@@ -78,26 +78,70 @@ class MultiTableRunner:
         specs: list[TableSpec],
         segments_per_batch: int = 8,
         n_buckets: int = 8,
+        table_changes: tuple = (),
     ):
+        """``table_changes``: DDL ledger of table lifecycle events —
+        ``(effective_segment, "create", TableSpec)`` /
+        ``(effective_segment, "drop", fqtn)`` — the reference's
+        onTableCreated / onTableDropped callbacks
+        (Cassandra4SchemaChangeListener.java:114-159 create, :162-217 drop),
+        replayed against the discovered segment range before each drain."""
         self.spark = spark
         self.log_path = log_path
         self.target_root = target_root
         self.specs: dict[str, TableSpec] = {s.fqtn: s for s in specs}
         self.segments_per_batch = segments_per_batch
+        self.n_buckets = n_buckets
+        self.table_changes = list(table_changes)
         self.targets: dict[str, CdcTarget] = {}
         for fqtn, spec in self.specs.items():
-            path = f"{target_root}/{fqtn}"
-            if LakeTable.exists(f"{path}/state"):
-                self.targets[fqtn] = CdcTarget.open(spark, path)
-            else:
-                self.targets[fqtn] = CdcTarget.create(
-                    spark, path, n_buckets=n_buckets, payload=spec.payload_dict
-                )
+            self._ensure_target(fqtn, spec)
         self.offsets = self._bookkeeping("_offsets", MT_OFFSETS_SCHEMA)
         self.lineage = self._bookkeeping("_lineage", MT_LINEAGE_SCHEMA)
         self.metrics = self._bookkeeping("_metrics", METRICS_SCHEMA)
         self.offsets.compaction_transform = _prune_mt_offsets
         self._done = self._load_done()
+
+    def _ensure_target(self, fqtn: str, spec: TableSpec) -> None:
+        path = f"{self.target_root}/{fqtn}"
+        if LakeTable.exists(f"{path}/state"):
+            self.targets[fqtn] = CdcTarget.open(self.spark, path)
+        else:
+            self.targets[fqtn] = CdcTarget.create(
+                self.spark, path, n_buckets=self.n_buckets, payload=spec.payload_dict
+            )
+
+    def apply_table_changes(self, up_to_segment: int, discovered: list[int]) -> None:
+        """Replay table create/drop DDL effective at or before
+        ``up_to_segment``. Idempotent: a created table that already exists /
+        a dropped table already absent are no-ops (crash-safe replay).
+
+        CREATE registers the spec and marks every discovered segment BEFORE
+        the effective segment as done for that table (capture starts at
+        creation — pre-existing data arrives via snapshot, not the log).
+        DROP marks every discovered segment AT/AFTER the effective segment
+        as done: capture stops at the drop point while segments preceding it
+        still drain normally; materialized state is retained (the reference
+        likewise stops emitting but deletes nothing).
+        """
+        for eff, action, arg in self.table_changes:
+            if eff > up_to_segment:
+                continue
+            if action == "create":
+                spec = arg
+                if spec.fqtn not in self.specs:
+                    self.specs[spec.fqtn] = spec
+                    self._ensure_target(spec.fqtn, spec)
+                    self._done.setdefault(spec.fqtn, set()).update(
+                        s for s in discovered if s < eff
+                    )
+            elif action == "drop":
+                if arg in self.specs:
+                    self._done.setdefault(arg, set()).update(
+                        s for s in discovered if s >= eff
+                    )
+            else:
+                raise ValueError(f"unknown table change action: {action!r}")
 
     def _bookkeeping(self, name: str, schema) -> LakeTable:
         path = f"{self.target_root}/{name}"
@@ -142,12 +186,14 @@ class MultiTableRunner:
 
     # -- planning -------------------------------------------------------------
     def pending_segments(self) -> list[int]:
-        """Segments not yet done for EVERY table."""
+        """Segments not yet done for EVERY (currently captured) table."""
         all_segments = discover_segments(self.log_path)
+        if self.table_changes and all_segments:
+            self.apply_table_changes(max(all_segments), all_segments)
         return [
             s
             for s in all_segments
-            if any(s not in self._done[f] for f in self.specs)
+            if any(s not in self._done.setdefault(f, set()) for f in self.specs)
         ]
 
     def _read_log(self, segment_ids: list[int]) -> DataFrame:
@@ -187,7 +233,8 @@ class MultiTableRunner:
         offset_rows, lineage_rows = [], []
         now_ms = int(time.time() * 1000)
         for fqtn, spec in self.specs.items():
-            pending = [s for s in segment_ids if s not in self._done[fqtn]]
+            done = self._done.setdefault(fqtn, set())
+            pending = [s for s in segment_ids if s not in done]
             if not pending:
                 continue
             pending_set = set(pending)
