@@ -40,6 +40,12 @@ def main() -> None:
     r.add_argument("--segments-per-batch", type=int, default=8)
     r.add_argument("--n-buckets", type=int, default=64)
     r.add_argument("--max-batches", type=int, default=None)
+    r.add_argument("--export-changes", action="store_true",
+                   help="persist change envelopes to <target>/changes")
+    r.add_argument("--no-delete-tombstones", action="store_true",
+                   help="suppress null-value tombstone records after deletes")
+    r.add_argument("--unpaired-range-markers", action="store_true",
+                   help="log carries separate start/end bound markers")
 
     s = sub.add_parser("stream", help="structured-streaming tail")
     s.add_argument("--log", required=True)
@@ -88,6 +94,9 @@ def main() -> None:
         runner = CdcRunner(
             spark, args.log, args.target,
             segments_per_batch=args.segments_per_batch, n_buckets=args.n_buckets,
+            export_changes=args.export_changes,
+            tombstones_on_delete=not args.no_delete_tombstones,
+            unpaired_range_markers=args.unpaired_range_markers,
         )
         results = runner.run(max_batches=args.max_batches)
         print(json.dumps({"batches": results}))

@@ -39,13 +39,17 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     k: int = 5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by character-k-gram Jaccard similarity.
 
     ``max_df`` drops shingles appearing in more than max_df docs
     (stop-shingles) — mandatory at scale: a shingle shared by D docs
-    contributes D^2 join rows.
+    contributes D^2 join rows, so the scale-safe cap is the DEFAULT and
+    all-pairs behavior is explicit opt-out (``max_df=None``). Dropping a
+    stop-shingle slightly lowers both intersection and union of affected
+    pairs; near-dup recall at usual thresholds is unaffected (true near-dups
+    share many informative shingles).
     """
     sh = shingles_df(docs, k=k)
     if max_df is not None:
