@@ -607,6 +607,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_lsh_buckets"] = emb_lsh_buckets
 
+    def emb_ivf_assign(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.similarity import ivf_assign
+
+        return ivf_assign(_embs(spark, sf_dir), n_centroids=16)
+
+    q["emb_ivf_assign"] = emb_ivf_assign
+
+    def emb_ivf_topk(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.similarity import ivf_topk
+
+        embs = _embs(spark, sf_dir)
+        return ivf_topk(embs, embs.where(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4)
+
+    q["emb_ivf_topk"] = emb_ivf_topk
+
     def emb_near_dups(spark, sf_dir):
         from debezium_connector_cassandra_spark.operators.similarity import (
             embedding_near_dups,
@@ -1054,6 +1069,54 @@ SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
     o["emb_lsh_buckets"] = f"""
 SELECT CAST({BUCKET} AS bigint) AS bucket, count(*) AS n_vectors
 FROM embeddings GROUP BY 1
+"""
+
+    IVF_BASE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+),
+ascored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(1.0 - {DOT.format(a="e.embedding", b="c.cv")}, 4) AS dist
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM ascored
+  ) WHERE rn = 1
+)
+"""
+    o["emb_ivf_assign"] = IVF_BASE + "SELECT vec_id, centroid_id, dist FROM assign"
+
+    o["emb_ivf_topk"] = IVF_BASE + f"""
+, q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qs AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         round(1.0 - {DOT.format(a="q.qv", b="c.cv")}, 4) AS dist
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM qs
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({DOT.format(a="p.qv", b="e.embedding")}, 4) AS sim
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
 """
 
     def _band_bucket_sql(band: int) -> str:

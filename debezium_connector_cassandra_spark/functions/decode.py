@@ -78,12 +78,19 @@ def source_struct(cluster: str = "synthetic", keyspace: str = "agents", table: s
     )
 
 
-def with_envelope(df: DataFrame, excluded_fields: tuple[str, ...] = ()) -> DataFrame:
+def with_envelope(
+    df: DataFrame,
+    excluded_fields: tuple[str, ...] = (),
+    cluster: str = "synthetic",
+    keyspace: str = "agents",
+    table: str = "transcripts",
+) -> DataFrame:
     """D11: attach {ts_ms, op, source, after}-shaped columns.
 
     ``excluded_fields`` implements D10 (field.exclude.list): excluded cells are
     nulled from INSERT/UPDATE envelopes only — deletes keep their tombstone
-    cells, mirroring RecordMaker.createRecord:61-72.
+    cells, mirroring RecordMaker.createRecord:61-72. ``keyspace``/``table``
+    flow into the SourceInfo struct (multi-table routing identity).
     """
     cells = F.col("cells")
     if excluded_fields:
@@ -103,7 +110,7 @@ def with_envelope(df: DataFrame, excluded_fields: tuple[str, ...] = ()) -> DataF
     return (
         df.withColumn("ts_ms", (F.col("writetime") / 1000).cast("long"))
         .withColumn("envelope_op", debezium_op())
-        .withColumn("source", source_struct())
+        .withColumn("source", source_struct(cluster=cluster, keyspace=keyspace, table=table))
         .withColumn("cells", cells)
         .withColumn("partition_type", partition_type())
         .withColumn("row_type", row_type())

@@ -50,7 +50,13 @@ def envelope_rows(
     positions stride 16 in the log analog, and the reference emits the
     tombstone record immediately after the delete envelope).
     """
-    env = with_envelope(log, excluded_fields=excluded_fields)
+    env = with_envelope(
+        log,
+        excluded_fields=excluded_fields,
+        cluster=cluster,
+        keyspace=keyspace,
+        table=table,
+    )
     base = env.select(
         "segment_id",
         "position",

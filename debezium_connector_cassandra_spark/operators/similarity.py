@@ -104,6 +104,89 @@ def lsh_bucket_stats(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) coarse quantization: assign every vector to its
+    nearest centroid. Centroids are the vectors with the ``n_centroids``
+    smallest ids — deterministic and oracle-friendly; production would run
+    k-means, which only changes WHERE the centroid relation comes from, not
+    this plan. Plan shape: broadcast the (tiny) centroid set against the
+    corpus scan, score all pairs, keep the argmin per vector (one window,
+    no shuffle of the corpus beyond the top-1 aggregation).
+
+    Returns (vec_id, centroid_id, dist) where dist = 1 - cosine (rounded for
+    cross-engine determinism; ties break on centroid_id ASC)."""
+    from pyspark.sql import Window as W
+
+    cents = embeddings.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).join(F.broadcast(cents)).withColumn(
+        "dist", F.round(F.lit(1.0) - _dot(F.col("vec"), F.col("c_vec")), 4)
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "dist")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score a query only against vectors whose
+    centroid is among the query's ``n_probe`` nearest centroids.
+
+    The 100 TB shape: the corpus is scored ONCE against the tiny broadcast
+    centroid set (the ivf_assign pass, typically precomputed and stored as a
+    partition column); the query set probes n_probe/n_centroids of the
+    corpus via an equi-join on centroid_id — an O(N·Q·probe-fraction)
+    bucket join instead of the exact path's O(N·Q) cross product."""
+    from pyspark.sql import Window as W
+
+    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
+    cents = embeddings.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(F.broadcast(cents)).withColumn(
+        "dist", F.round(F.lit(1.0) - _dot(F.col("q_vec"), F.col("c_vec")), 4)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(assign.select(F.col("vec_id").alias("neighbor_id"), "centroid_id"), "neighbor_id")
+    scored = (
+        probes.join(corpus, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_dot(F.col("q_vec"), F.col("c_vec")), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

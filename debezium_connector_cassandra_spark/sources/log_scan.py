@@ -36,6 +36,56 @@ def discover_segments(log_path: str) -> list[int]:
     return sorted(out)
 
 
+class CommitLogTransfer:
+    """R7 post-processing plug-in surface — the reference's CommitLogTransfer
+    (core/.../CommitLogTransfer.java; default impl moves processed segments
+    to ``archive/``, error segments to ``error/``; BlackHoleCommitLogTransfer
+    .java:15-31 deletes instead).
+
+    Lake formulation: a processed segment directory is MOVED out of the
+    active log root into ``_archive/`` (or ``_error/``), so discovery stops
+    listing it — the exact contract of moving a commit log out of cdc_raw.
+    ``onSuccess``/``onError`` mirror the reference interface; the black-hole
+    variant passes ``delete=True``.
+    """
+
+    def __init__(self, log_path: str, delete: bool = False):
+        self.log_path = log_path
+        self.delete = delete
+
+    def _move(self, segment_id: int, dest: str) -> None:
+        import shutil
+
+        src = os.path.join(self.log_path, f"segment_id={segment_id}")
+        if not os.path.isdir(src):
+            return
+        if self.delete:
+            shutil.rmtree(src)
+            return
+        dest_dir = os.path.join(self.log_path, dest)
+        os.makedirs(dest_dir, exist_ok=True)
+        shutil.move(src, os.path.join(dest_dir, f"segment_id={segment_id}"))
+
+    def on_success(self, segment_id: int) -> None:
+        self._move(segment_id, "_archive")
+
+    def on_error(self, segment_id: int) -> None:
+        self._move(segment_id, "_error")
+
+    def restore(self, segment_id: int) -> bool:
+        """Return an archived/error segment to the active log (the reference
+        moves error files back to the CDC dir before reprocessing,
+        CommitLogProcessor.java:113-117). Returns True if found."""
+        import shutil
+
+        for sub in ("_error", "_archive"):
+            src = os.path.join(self.log_path, sub, f"segment_id={segment_id}")
+            if os.path.isdir(src):
+                shutil.move(src, os.path.join(self.log_path, f"segment_id={segment_id}"))
+                return True
+        return False
+
+
 def offset_filter(
     offsets: dict[int, tuple[int, int]],
     reprocess_segments: set[int] | None = None,

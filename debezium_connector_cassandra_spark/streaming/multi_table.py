@@ -79,6 +79,8 @@ class MultiTableRunner:
         segments_per_batch: int = 8,
         n_buckets: int = 8,
         table_changes: tuple = (),
+        export_changes: bool = False,
+        tombstones_on_delete: bool = True,
     ):
         """``table_changes``: DDL ledger of table lifecycle events —
         ``(effective_segment, "create", TableSpec)`` /
@@ -93,6 +95,8 @@ class MultiTableRunner:
         self.segments_per_batch = segments_per_batch
         self.n_buckets = n_buckets
         self.table_changes = list(table_changes)
+        self.export_changes = export_changes
+        self.tombstones_on_delete = tombstones_on_delete
         self.targets: dict[str, CdcTarget] = {}
         for fqtn, spec in self.specs.items():
             self._ensure_target(fqtn, spec)
@@ -110,6 +114,11 @@ class MultiTableRunner:
             self.targets[fqtn] = CdcTarget.create(
                 self.spark, path, n_buckets=self.n_buckets, payload=spec.payload_dict
             )
+        if self.export_changes:
+            from ..lake.changes import ChangesExport
+
+            self.changes_tables = getattr(self, "changes_tables", {})
+            self.changes_tables[fqtn] = ChangesExport(self.spark, f"{path}/changes")
 
     def apply_table_changes(self, up_to_segment: int, discovered: list[int]) -> None:
         """Replay table create/drop DDL effective at or before
@@ -249,6 +258,20 @@ class MultiTableRunner:
                 )
                 sub = decode_table_payload(sub, spec)
                 results[fqtn] = apply_batch(self.targets[fqtn], sub, stats=stats)
+                if self.export_changes:
+                    # MT batches consume whole segments, so the decoded slice
+                    # is per-segment complete — export directly from it
+                    from ..lake.changes import envelope_rows
+
+                    self.changes_tables[fqtn].write_segments(
+                        envelope_rows(
+                            sub,
+                            tombstones_on_delete=self.tombstones_on_delete,
+                            keyspace=spec.keyspace,
+                            table=spec.table,
+                        ),
+                        pending,
+                    )
             else:
                 results[fqtn] = {"n_events": 0}
             # per-table offsets: max (segment, position) per log partition

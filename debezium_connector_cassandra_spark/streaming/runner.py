@@ -82,6 +82,7 @@ class CdcRunner:
         tombstones_on_delete: bool = True,
         unpaired_range_markers: bool = False,
         validate_writetimes: bool = False,
+        commit_log_transfer=None,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -95,6 +96,9 @@ class CdcRunner:
         self.tombstones_on_delete = tombstones_on_delete
         self.unpaired_range_markers = unpaired_range_markers
         self.validate_writetimes = validate_writetimes
+        # R7 post-process plug-in (CommitLogTransfer analog): archives/
+        # deletes a segment AFTER its state commit, export, and lineage land
+        self.commit_log_transfer = commit_log_transfer
         if export_changes:
             from ..lake.changes import ChangesExport
 
@@ -370,6 +374,11 @@ class CdcRunner:
                     ),
                     done_now,
                 )
+
+        if self.commit_log_transfer is not None:
+            for row in lineage_rows:
+                if row["status"] in ("done", "reprocess"):
+                    self.commit_log_transfer.on_success(row["segment_id"])
 
         wall_ms = int((time.time() - t0) * 1000)
         self.metrics.append_small(

@@ -40,6 +40,16 @@ from .runner import CdcRunner
 
 class CdcStream:
     def __init__(self, runner: CdcRunner, max_files_per_trigger: int | None = None):
+        if getattr(runner, "unpaired_range_markers", False):
+            # marker pairing needs a segment's full row set in one pass; the
+            # file source delivers arbitrary file subsets per micro-batch, so
+            # a start/end pair can straddle two batches and silently drop —
+            # refuse instead (use the batch front-end for marker logs)
+            raise ValueError(
+                "unpaired_range_markers is incompatible with the streaming "
+                "front-end (bound markers can straddle micro-batches); use "
+                "CdcRunner.run()"
+            )
         self.runner = runner
         self.max_files_per_trigger = max_files_per_trigger
 

@@ -166,3 +166,25 @@ def test_snapshot_table_selection_anti_join(spark, mt_log, tmp_path):
     view = runner.read_table("ks1.events")
     boot = view.where(F.col("session_id") == "s_1").collect()
     assert len(boot) >= 1
+
+
+def test_multi_table_changes_export(spark, mt_log, tmp_path):
+    runner = MultiTableRunner(
+        spark, mt_log, str(tmp_path / "tgt"), SPECS, segments_per_batch=8,
+        export_changes=True,
+    )
+    runner.run()
+    raw = spark.read.parquet(mt_log)
+    for spec in SPECS:
+        sub = raw.where(
+            (F.col("keyspace") == spec.keyspace) & (F.col("table") == spec.table)
+        )
+        n = sub.count()
+        n_del = sub.where(F.col("op").isin("d", "p")).count()
+        changes = runner.changes_tables[spec.fqtn].read()
+        assert changes.count() == n + n_del
+        # SourceInfo carries the table's routing identity
+        src = changes.select("source.keyspace", "source.table").distinct().collect()
+        assert {(r["keyspace"], r["table"]) for r in src} == {
+            (spec.keyspace, spec.table)
+        }
