@@ -117,19 +117,24 @@ def minhash_lsh_candidates(
 
 
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
-    """SimHash fingerprint: per token-hash bit, majority vote over tokens;
-    fingerprint = sum of winning bits."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = hash64(F.col("tok"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    votes = tok.select("doc_id", h.alias("h"), bit).select(
-        "doc_id",
-        "b",
-        (F.expr("shiftright(h, b) & 1") * 2 - 1).alias("vote"),
-    )
-    bitvals = votes.groupBy("doc_id", "b").agg(
-        F.when(F.sum("vote") > 0, F.expr("shiftleft(cast(1 as bigint), b)"))
-        .otherwise(F.lit(0).cast("long"))
-        .alias("bitval")
-    )
-    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+    """SimHash fingerprint: per token-hash bit, majority vote over tokens
+    (tie -> 0); fingerprint = sum of winning bits.
+
+    Plan shape: token-grain rows aggregate ONCE with ``bits`` packed sum
+    columns (vote_i = ±1 from bit i of the token hash) — no per-bit row
+    explosion (a 32x data blowup in the naive shape) and a single shuffle
+    with map-side combine."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select("doc_id", hash64(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(F.expr(f"(shiftright(h, {i}) & 1) * 2 - 1")).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", fp.alias("simhash"))
