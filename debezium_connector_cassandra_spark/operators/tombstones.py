@@ -62,6 +62,10 @@ def extract_tombstones(batch: DataFrame) -> TombstoneSet:
         .groupBy("conv_id")
         .agg(F.max("writetime").alias("wt"))
     )
+    # ranges pre-aggregate at BOUNDS grain (identical bounds keep max wt):
+    # a hot partition receiving thousands of range deletes over a bounded
+    # clustering space collapses to the distinct-bounds count before any
+    # join — same reason row/partition tombstones pre-aggregate
     rng = (
         batch.where(F.col("op") == "r")
         .select(
@@ -72,6 +76,8 @@ def extract_tombstones(batch: DataFrame) -> TombstoneSet:
             (F.col("range_end.method") == "INCL_END_BOUND").alias("hi_incl"),
             F.col("writetime").alias("wt"),
         )
+        .groupBy("conv_id", "lo", "hi", "lo_incl", "hi_incl")
+        .agg(F.max("wt").alias("wt"))
     )
     return TombstoneSet(row=row, partition=partition, range=rng)
 
@@ -92,7 +98,7 @@ def union_tombstones(a: TombstoneSet, b: TombstoneSet) -> TombstoneSet:
     return TombstoneSet(
         row=u(a.row, b.row, ["conv_id", "turn_idx"]),
         partition=u(a.partition, b.partition, ["conv_id"]),
-        range=u(a.range, b.range),
+        range=u(a.range, b.range, ["conv_id", "lo", "hi", "lo_incl", "hi_incl"]),
     )
 
 
@@ -228,5 +234,9 @@ def rows_to_tombstones(df: DataFrame) -> TombstoneSet:
             .agg(F.max("wt").alias("wt"))
         ),
         partition=df.where(F.col("kind") == "p").groupBy("conv_id").agg(F.max("wt").alias("wt")),
-        range=df.where(F.col("kind") == "r").select("conv_id", "lo", "hi", "lo_incl", "hi_incl", "wt"),
+        range=(
+            df.where(F.col("kind") == "r")
+            .groupBy("conv_id", "lo", "hi", "lo_incl", "hi_incl")
+            .agg(F.max("wt").alias("wt"))
+        ),
     )
