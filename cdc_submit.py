@@ -54,6 +54,18 @@ def main() -> None:
     s.add_argument("--n-buckets", type=int, default=64)
     s.add_argument("--continuous", action="store_true", help="keep tailing (default: drain available and stop)")
 
+    rm = sub.add_parser("run-multi", help="drain a multi-table log (per-table targets)")
+    rm.add_argument("--log", required=True)
+    rm.add_argument("--target-root", required=True)
+    rm.add_argument(
+        "--tables", required=True,
+        help=("JSON file: [{keyspace, table, partition_key, clustering_key, "
+              "payload: [[name, cassandra-type], ...]}, ...]"),
+    )
+    rm.add_argument("--segments-per-batch", type=int, default=8)
+    rm.add_argument("--n-buckets", type=int, default=64)
+    rm.add_argument("--export-changes", action="store_true")
+
     sn = sub.add_parser("snapshot", help="bootstrap from an existing table")
     sn.add_argument("--source-table", required=True, help="parquet path of pre-existing transcripts")
     sn.add_argument("--target", required=True)
@@ -100,6 +112,38 @@ def main() -> None:
         )
         results = runner.run(max_batches=args.max_batches)
         print(json.dumps({"batches": results}))
+        return
+
+    if args.cmd == "run-multi":
+        from debezium_connector_cassandra_spark.functions.types import TypeMapper
+        from debezium_connector_cassandra_spark.model import TableSpec
+        from debezium_connector_cassandra_spark.streaming.multi_table import (
+            MultiTableRunner,
+        )
+
+        tm = TypeMapper()
+        with open(args.tables) as f:
+            specs = [
+                TableSpec(
+                    keyspace=t["keyspace"],
+                    table=t["table"],
+                    partition_key=t.get("partition_key", "conv_id"),
+                    clustering_key=t.get("clustering_key", "turn_idx"),
+                    payload=tm.payload_from_ddl([tuple(c) for c in t["payload"]]),
+                )
+                for t in json.load(f)
+            ]
+        runner = MultiTableRunner(
+            spark, args.log, args.target_root, specs,
+            segments_per_batch=args.segments_per_batch, n_buckets=args.n_buckets,
+            export_changes=args.export_changes,
+        )
+        results = runner.run()
+        print(json.dumps({
+            "batches": len(results),
+            "n_decoded": sum(r["n_decoded"] for r in results),
+            "tables": sorted(runner.specs),
+        }))
         return
 
     if args.cmd == "stream":
