@@ -516,6 +516,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_unpaired_markers"] = cdc_unpaired_markers
 
+    # --- type-system breadth through the FULL state build: an array<string>
+    # cell and a tuple/UDT (struct) cell ride the LWW reduction, tombstone
+    # interplay, and finalize; the result is stringified only at the end so
+    # the DuckDB oracle (which computes the strings directly) can hash-match.
+    def cdc_collections(spark, sf_dir):
+        flat = _flat_log(spark, sf_dir)
+        is_up = F.col("op").isin("i", "u")
+        is_r = F.col("op") == "r"
+        tags_arr = F.array(
+            F.concat(F.lit("tA_"), F.expr("cast((event_id*37)%50 as string)")),
+            F.concat(F.lit("tB_"), F.expr("cast((event_id*41)%50 as string)")),
+        )
+        pair_struct = F.struct(
+            F.expr("cast((event_id*43)%100 as int)").alias("_0"),
+            F.concat(F.lit("p_"), F.expr("cast((event_id*47)%30 as string)")).alias("_1"),
+        )
+
+        def cell(val, set_col, dtype_null):
+            return F.struct(
+                F.when(set_col, val).otherwise(dtype_null).alias("value"),
+                F.lit(None).cast("long").alias("deletion_ts"),
+                set_col.alias("set"),
+            )
+
+        cells = F.when(
+            is_up,
+            F.struct(
+                cell(tags_arr, F.col("text_set"), F.lit(None).cast("array<string>")).alias("tags"),
+                cell(pair_struct, F.col("role_set"), F.lit(None).cast("struct<_0:int,_1:string>")).alias("pair"),
+            ),
+        )
+        bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
+        log = flat.select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "op",
+            "conv_id",
+            F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+            "writetime",
+            cells.alias("cells"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")),
+                    F.col("r_lo"),
+                ),
+            ).alias("range_start"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")),
+                    F.col("r_hi"),
+                ),
+            ).alias("range_end"),
+            F.lit(1).alias("schema_version"),
+            F.lit(False).alias("snapshot"),
+        )
+        st = _state_pipeline(log, ["tags", "pair"], ("i", "u", "d", "p", "r"))
+        return st.select(
+            "conv_id",
+            "turn_idx",
+            F.array_join(F.col("tags"), ",").alias("tags_s"),
+            F.when(
+                F.col("pair").isNotNull(),
+                F.concat(F.col("pair._0").cast("string"), F.lit(":"), F.col("pair._1")),
+            ).alias("pair_s"),
+        )
+
+    q["cdc_collections"] = cdc_collections
+
     # ======================================================================
     # training-data pipeline operators (documents / embeddings tables)
     # ======================================================================
@@ -752,6 +823,45 @@ FROM m GROUP BY 1
     # splitting + re-pairing bound markers must reconstruct the exact
     # paired-log semantics, so the oracle IS the full-state oracle
     o["cdc_unpaired_markers"] = _duck(_oracle_state_sql("iudpr"))
+
+    # collections: the oracle computes the stringified winners directly
+    # (the engine carries real array/struct cells end-to-end)
+    o["cdc_collections"] = _duck(
+        """
+, ups AS (
+  SELECT *,
+    'tA_' || CAST((event_id*37)%50 AS varchar) || ',tB_'
+          || CAST((event_id*41)%50 AS varchar) AS tags_val,
+    CAST((event_id*43)%100 AS varchar) || ':p_'
+          || CAST((event_id*47)%30 AS varchar) AS pair_val
+  FROM m WHERE op IN ('i','u')
+),
+keys AS (SELECT DISTINCT conv_id, turn_idx FROM ups),
+tomb AS (
+  SELECT k.conv_id, k.turn_idx, max(t.writetime) AS tomb_wt
+  FROM keys k JOIN m t ON t.conv_id = k.conv_id
+   AND ((t.op = 'd' AND t.turn_idx = k.turn_idx)
+     OR (t.op = 'p')
+     OR (t.op = 'r'
+         AND (CASE WHEN t.lo_incl THEN k.turn_idx >= t.r_lo ELSE k.turn_idx > t.r_lo END)
+         AND (CASE WHEN t.hi_incl THEN k.turn_idx <= t.r_hi ELSE k.turn_idx < t.r_hi END)))
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT u.conv_id, u.turn_idx,
+    last(u.tags_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS tags_s,
+    last(u.pair_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.role_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS pair_s,
+    bool_or(u.op = 'i' AND u.writetime > coalesce(t.tomb_wt, -1)) AS live,
+    (bool_or(u.text_set AND u.writetime > coalesce(t.tomb_wt, -1))
+     OR bool_or(u.role_set AND u.writetime > coalesce(t.tomb_wt, -1))) AS anycell
+  FROM ups u LEFT JOIN tomb t USING (conv_id, turn_idx)
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, tags_s, pair_s FROM fin WHERE live OR anycell
+"""
+    )
 
     # field exclude: same as full state but tool cells never set
     o["cdc_field_exclude"] = _duck(
