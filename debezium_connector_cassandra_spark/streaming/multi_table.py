@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import time
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..lake.table import LakeTable
@@ -64,6 +65,56 @@ def decode_table_payload(df: DataFrame, spec: TableSpec) -> DataFrame:
             spec.cells_type(),
             {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
         ),
+    ).drop("payload", "keyspace", "table")
+
+
+def decode_table_payload_arrow(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Arrow pandas-UDF twin of decode_table_payload for ANY TableSpec —
+    the vectorized-UDF decode the north star mandates, generalized from the
+    fixed-schema `functions.decode.decode_payload_arrow`. One Python call
+    per Arrow record batch; scalar leaf values parse from the JSON payload
+    into the spec's cell layout (pandas nested dicts map onto the struct
+    type via Arrow). Tests assert bit-parity with the JVM path."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    names = [n for n, _ in spec.payload]
+    ts_cols = {
+        n for n, t in spec.payload if t.simpleString() == "timestamp"
+    }
+
+    @pandas_udf(spec.cells_type())
+    def _decode(payload: pd.Series) -> pd.DataFrame:
+        def parse(b):
+            if b is None:
+                return {n: None for n in names}
+            d = _json.loads(bytes(b).decode("utf-8"))
+            out = {}
+            for n in names:
+                c = d.get(n)
+                if c is None:
+                    out[n] = None
+                    continue
+                v = c.get("value")
+                if n in ts_cols and v is not None:
+                    t = pd.Timestamp(v)
+                    v = t.tz_localize(None) if t.tzinfo is None else t.tz_convert("UTC").tz_localize(None)
+                out[n] = {
+                    "value": v,
+                    "deletion_ts": c.get("deletion_ts"),
+                    "set": bool(c.get("set", False)),
+                }
+            return out
+
+        parsed = payload.map(parse)
+        return pd.DataFrame({n: parsed.map(lambda d, n=n: d[n]) for n in names})
+
+    # a NULL payload (tombstone op) must decode to a NULL struct, matching
+    # from_json(NULL); the UDF can only emit per-field nulls, so mask here
+    return df.withColumn(
+        "cells",
+        F.when(F.col("payload").isNotNull(), _decode(F.col("payload"))),
     ).drop("payload", "keyspace", "table")
 
 
