@@ -241,3 +241,37 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
     assert got.loc[0, "meta"] == "m0"   # sparse update onto pre-evolution row
     assert got.loc[0, "text"] == "v1 text"  # old cell survives
     assert got.loc[1, "meta"] == "m2"
+
+
+def test_snapshot_ttl_deletion_ts(spark):
+    """S6 TTL math (SnapshotProcessor.calculateDeletionTs:342-344):
+    deletion_ts = snapshot writetime + ttl seconds in micros; expiring cells
+    behave as null assignments once applied."""
+    from debezium_connector_cassandra_spark.sources.snapshot import (
+        snapshot_to_mutations,
+    )
+    from debezium_connector_cassandra_spark.operators.lww import (
+        drop_invisible,
+        finalize_state,
+        reduce_events,
+    )
+
+    src = spark.createDataFrame(
+        [("c1", 1, "user", "hello", "tool_1", None, 30),
+         ("c1", 2, "user", "world", None, None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, ttl_s int",
+    )
+    wt = 1_000_000
+    muts = snapshot_to_mutations(src, snapshot_writetime=wt, ttl_seconds_col="ttl_s")
+    rows = {r["turn_idx"]: r for r in muts.collect()}
+    assert rows[1]["snapshot"] is True
+    assert rows[1]["cells"]["role"]["deletion_ts"] == wt + 30 * 1_000_000
+    assert rows[2]["cells"]["role"]["deletion_ts"] is None
+    # expiring cells apply as null assignments; the non-TTL row keeps values
+    state = {
+        r["turn_idx"]: r
+        for r in drop_invisible(finalize_state(reduce_events(muts))).collect()
+    }
+    assert state[1]["role"] is None and state[2]["role"] == "user"
+    assert state[1]["_live_wt"] == wt  # row still live (liveness not TTL'd)
