@@ -1160,7 +1160,7 @@ GROUP BY 1, 2
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         round({DOT.format(a="q.qv", b="c.embedding")}, 4) AS sim
+         round({DOT.format(a="q.qv", b="c.embedding")}, 4) + 0.0 AS sim
   FROM embeddings c, q WHERE c.vec_id <> q.query_id
 ),
 ranked AS (
@@ -1187,7 +1187,7 @@ WITH cents AS (
 ),
 ascored AS (
   SELECT e.vec_id, c.centroid_id,
-         round(1.0 - {DOT.format(a="e.embedding", b="c.cv")}, 4) AS dist
+         round(1.0 - {DOT.format(a="e.embedding", b="c.cv")}, 4) + 0.0 AS dist
   FROM embeddings e, cents c
 ),
 assign AS (
@@ -1204,7 +1204,7 @@ assign AS (
 , q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 qs AS (
   SELECT q.query_id, q.qv, c.centroid_id,
-         round(1.0 - {DOT.format(a="q.qv", b="c.cv")}, 4) AS dist
+         round(1.0 - {DOT.format(a="q.qv", b="c.cv")}, 4) + 0.0 AS dist
   FROM q, cents c
 ),
 probes AS (
@@ -1216,7 +1216,7 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         round({DOT.format(a="p.qv", b="e.embedding")}, 4) AS sim
+         round({DOT.format(a="p.qv", b="e.embedding")}, 4) + 0.0 AS sim
   FROM probes p
   JOIN assign a ON a.centroid_id = p.centroid_id
   JOIN embeddings e ON e.vec_id = a.vec_id

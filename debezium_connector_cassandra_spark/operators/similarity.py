@@ -54,7 +54,7 @@ def cosine_topk(
     c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(_dot(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn("sim", F.round(_dot(F.col("q_vec"), F.col("c_vec")), 4) + F.lit(0.0))
         .select("query_id", "neighbor_id", "sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -104,6 +104,16 @@ def lsh_bucket_stats(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     )
 
 
+def _centroids(
+    embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic centroid relation: the ``n_centroids`` smallest-id
+    vectors. Tiny — always broadcast by callers."""
+    return embeddings.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -113,28 +123,42 @@ def ivf_assign(
     """IVF (inverted-file) coarse quantization: assign every vector to its
     nearest centroid. Centroids are the vectors with the ``n_centroids``
     smallest ids — deterministic and oracle-friendly; production would run
-    k-means, which only changes WHERE the centroid relation comes from, not
-    this plan. Plan shape: broadcast the (tiny) centroid set against the
-    corpus scan, score all pairs, keep the argmin per vector (one window,
-    no shuffle of the corpus beyond the top-1 aggregation).
+    k-means (see ``kmeans_centroids``), which only changes WHERE the
+    centroid relation comes from, not this plan. Plan shape: broadcast the
+    (tiny) centroid set against the corpus scan, score all pairs, then take
+    the argmin per vector as a packed-long MIN HASH AGGREGATE — partial
+    (map-side combine) + final, no sort, no window: the only shuffle is the
+    combined one-row-per-vector partials. This is the 100 TB shape; a
+    row_number() window here would sort-shuffle the full N x n_centroids
+    scored relation.
 
     Returns (vec_id, centroid_id, dist) where dist = 1 - cosine (rounded for
-    cross-engine determinism; ties break on centroid_id ASC)."""
-    from pyspark.sql import Window as W
-
-    cents = embeddings.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
-    )
+    cross-engine determinism; ``+ 0.0`` normalizes IEEE ``-0.0`` so hashes
+    agree across engines; ties break on centroid_id ASC via the packed
+    encoding's lexicographic order)."""
+    cents = _centroids(embeddings, n_centroids, id_col, vec_col)
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).join(F.broadcast(cents)).withColumn(
-        "dist", F.round(F.lit(1.0) - _dot(F.col("vec"), F.col("c_vec")), 4)
+        "dist", F.round(F.lit(1.0) - _dot(F.col("vec"), F.col("c_vec")), 4) + F.lit(0.0)
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "dist")
+    # (dist, centroid_id) packed into ONE orderable long so min() compiles to
+    # HashAggregate (a struct-min falls back to SortAggregate — per-partition
+    # sorts of the x n_centroids scored relation). dist has 4 decimals, so
+    # d4 = dist*10^4 is integral; enc = d4 * 2^20 + centroid_id preserves
+    # (dist ASC, centroid_id ASC) lexicographic order. Decode is exact:
+    # d4/10000.0 is the correctly-rounded double of the same 4-dp decimal
+    # F.round produced.
+    _M = 1 << 20
+    d4 = F.round(F.col("dist") * 10000, 0).cast("long")
+    enc = d4 * _M + F.col("centroid_id").cast("long")
+    agg = scored.groupBy("vec_id").agg(F.min(enc).alias("enc"))
+    cid = F.pmod(F.col("enc"), F.lit(_M))
+    d4_back = ((F.col("enc") - cid) / F.lit(_M)).cast("long")
+    return agg.select(
+        "vec_id",
+        cid.cast("long").alias("centroid_id"),
+        (d4_back.cast("double") / F.lit(10000.0) + F.lit(0.0)).alias("dist"),
     )
 
 
@@ -158,12 +182,10 @@ def ivf_topk(
     from pyspark.sql import Window as W
 
     assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    cents = embeddings.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
-    )
+    cents = _centroids(embeddings, n_centroids, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_scored = q.join(F.broadcast(cents)).withColumn(
-        "dist", F.round(F.lit(1.0) - _dot(F.col("q_vec"), F.col("c_vec")), 4)
+        "dist", F.round(F.lit(1.0) - _dot(F.col("q_vec"), F.col("c_vec")), 4) + F.lit(0.0)
     )
     wq = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
     probes = (
@@ -177,7 +199,7 @@ def ivf_topk(
     scored = (
         probes.join(corpus, "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(_dot(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn("sim", F.round(_dot(F.col("q_vec"), F.col("c_vec")), 4) + F.lit(0.0))
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

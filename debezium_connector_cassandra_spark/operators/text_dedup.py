@@ -75,15 +75,24 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 5) -> DataFrame:
-    """(doc_id, i, minhash_i): min over shingles of hash64(i # shingle)."""
+    """(doc_id, i, minhash_i): min over shingles of hash64(i # shingle).
+
+    Plan shape: ``num_hashes`` min-aggregate COLUMNS over the un-exploded
+    shingle rows (ONE shuffle at shingle grain with map-side combine), then
+    an unpivot at the tiny one-row-per-doc grain. The naive
+    explode(sequence(0, H-1)) shape multiplies the shingle relation — the
+    dominant relation at corpus scale — by H before the shuffle; this shape
+    keeps shuffle bytes independent of num_hashes."""
     sh = shingles_df(docs, k=k)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        "shingle",
+    aggs = [
+        F.min(hash64(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{i}, _mh{i}" for i in range(num_hashes))
+    return sigs.select(
+        "doc_id", F.expr(f"stack({num_hashes}, {stack_args}) as (i, mh)")
     )
-    h = hash64(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("shingle")))
-    return seeded.groupBy("doc_id", "i").agg(F.min(h).alias("mh"))
 
 
 def minhash_lsh_candidates(
@@ -134,7 +143,9 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     votes = tok.groupBy("doc_id").agg(*aggs)
     fp = F.lit(0).cast("long")
     for i in range(bits):
-        fp = fp + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        # shiftleft keeps bit 63 in-range (1 << 63 as a Python int overflows
+        # a signed-long literal), so bits=64 stays supported.
+        fp = fp + F.when(
+            F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", fp.alias("simhash"))

@@ -290,7 +290,7 @@ class MultiTableRunner:
                 by_table[fqtn].append(r)
 
         results = {}
-        offset_rows, lineage_rows = [], []
+        n_applied = 0
         now_ms = int(time.time() * 1000)
         for fqtn, spec in self.specs.items():
             done = self._done.setdefault(fqtn, set())
@@ -331,7 +331,7 @@ class MultiTableRunner:
                 cand = (r["segment_id"], r["max_pos"])
                 if best.get(r["log_partition"], (-2, -2)) < cand:
                     best[r["log_partition"]] = cand
-            offset_rows.extend(
+            offset_rows = [
                 {
                     "fqtn": fqtn,
                     "log_partition": lp,
@@ -340,7 +340,8 @@ class MultiTableRunner:
                     "updated_at": now_ms,
                 }
                 for lp, (seg, pos) in sorted(best.items())
-            )
+            ]
+            lineage_rows = []
             seen = {}
             for r in rows:
                 seen.setdefault(r["segment_id"], []).append(r)
@@ -366,9 +367,15 @@ class MultiTableRunner:
                         }
                     )
                 self._done[fqtn].add(seg)
+            # durable per-table bookkeeping lands right after THIS table's
+            # apply commits — a crash mid-batch resumes with only the
+            # not-yet-committed tables replaying (idempotent merges make any
+            # overlap a no-op). This is the "marks per-table lineage as each
+            # apply lands" contract from the module docstring.
+            self.offsets.append_small(offset_rows)
+            self.lineage.append_small(lineage_rows)
+            n_applied += stats["n"]
 
-        self.offsets.append_small(offset_rows)
-        self.lineage.append_small(lineage_rows)
         n_decoded = sum(r["n"] for r in seg_rows)
         wall_ms = int((time.time() - t0) * 1000)
         self.metrics.append_small(
@@ -378,8 +385,8 @@ class MultiTableRunner:
                     "segment_lo": min(segment_ids),
                     "segment_hi": max(segment_ids),
                     "n_decoded": n_decoded,
-                    "n_deduped": n_decoded,
-                    "n_applied": n_decoded,
+                    "n_deduped": n_applied,
+                    "n_applied": n_applied,
                     "wall_ms": wall_ms,
                 }
             ]

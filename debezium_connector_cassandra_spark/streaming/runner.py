@@ -362,6 +362,13 @@ class CdcRunner:
                 full = read_mutation_log(
                     self.spark, self.log_path, schema=self.log_schema
                 ).where(F.col("segment_id").isin(*[int(s) for s in done_now]))
+                if self.unpaired_range_markers:
+                    # same D9 pairing the apply path ran — without it each
+                    # range delete would export as TWO unpaired 't' marker
+                    # rows instead of one paired event
+                    from ..operators.tombstones import pair_range_markers
+
+                    full = pair_range_markers(full)
                 if self.decode_binary:
                     from ..functions.decode import decode_payload_jvm
 

@@ -110,3 +110,27 @@ def test_export_waits_for_segment_finalization(spark, log_path, tmp_path):
     ).count()
     assert n0 == n0_log
     assert runner.changes.read().where(F.col("segment_id") == 0).count() == n0_log + n0_del
+
+
+def test_export_pairs_unpaired_range_markers(spark, tmp_path):
+    """With unpaired_range_markers=True + export_changes=True, each range
+    delete must export as ONE paired 't' envelope, not two raw marker rows
+    (regression: the export path used to skip pair_range_markers)."""
+    from debezium_connector_cassandra_spark.sources.generator import (
+        split_range_markers,
+    )
+
+    p = str(tmp_path / "log")
+    log = gen_mutation_log(
+        spark, 1500, n_convs=25, events_per_segment=500, seed=41
+    )
+    n_r = log.where(F.col("op") == "r").count()
+    assert n_r > 0
+    write_mutation_log(split_range_markers(log), p)
+    runner = CdcRunner(
+        spark, p, str(tmp_path / "t"), n_buckets=4,
+        unpaired_range_markers=True, export_changes=True,
+    )
+    runner.run()
+    t_rows = runner.changes.read().where(F.col("envelope_op") == "t")
+    assert t_rows.count() == n_r
