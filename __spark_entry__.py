@@ -587,6 +587,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_collections"] = cdc_collections
 
+    # --- R1 both routing modes: PARTITION_VALUES and COMMITLOG_FILE queue
+    # assignment (getPartitionQueueIndex,
+    # Cassandra4CommitLogReadHandlerImpl.java:672-685; config
+    # CassandraConnectorConfig.java:246-288) — per-queue occupancy is the
+    # observable routing contract.
+    def cdc_routing_modes(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.routing import (
+            COMMITLOG_FILE,
+            PARTITION_VALUES,
+            routing_stats,
+        )
+
+        log = derived_log(spark, sf_dir)
+        out = None
+        for mode in (PARTITION_VALUES, COMMITLOG_FILE):
+            st = routing_stats(log, mode=mode, n_queues=8).select(
+                F.lit(mode).alias("mode"), "queue", "n_events", "n_keys", "n_segments"
+            )
+            out = st if out is None else out.unionByName(st)
+        return out
+
+    q["cdc_routing_modes"] = cdc_routing_modes
+
+    # --- D3 full form: unsupported partition types (COUNTER /
+    # MATERIALIZED_VIEW / SECONDARY_INDEX) are classified, counted, and
+    # skipped (PartitionType.getPartitionType:137-156, validity :158-168,
+    # handler guard Cassandra4CommitLogReadHandlerImpl.java:102-168).
+    def cdc_unsupported_counts(spark, sf_dir):
+        from debezium_connector_cassandra_spark.functions.decode import (
+            split_unsupported,
+        )
+        from debezium_connector_cassandra_spark.sources.generator import (
+            tag_table_kinds,
+        )
+
+        log = tag_table_kinds(derived_log(spark, sf_dir))
+        supported, skipped = split_unsupported(log)
+        sup_row = supported.agg(F.count("*").alias("n")).select(
+            F.lit("SUPPORTED").alias("partition_type"), "n"
+        )
+        return skipped.select(
+            "partition_type", F.col("n_skipped").alias("n")
+        ).unionByName(sup_row)
+
+    q["cdc_unsupported_counts"] = cdc_unsupported_counts
+
+    def cdc_unsupported_state(spark, sf_dir):
+        # state built through the classify-and-skip path must equal the
+        # state over supported mutations only (skipped kinds leave no trace)
+        from debezium_connector_cassandra_spark.functions.decode import (
+            split_unsupported,
+        )
+        from debezium_connector_cassandra_spark.sources.generator import (
+            tag_table_kinds,
+        )
+
+        log = tag_table_kinds(derived_log(spark, sf_dir))
+        supported, _ = split_unsupported(log)
+        return _state_pipeline(
+            supported.drop("table_kind"), payload, ("i", "u", "d", "p", "r")
+        )
+
+    q["cdc_unsupported_state"] = cdc_unsupported_state
+
+    # --- type-system depth through the FULL state build: a decimal cell
+    # (decimal.handling.mode surface, functions/types.py:93-104; reference
+    # DecimalTypeDeserializer.java:42-66) and a map cell (the non-orderable
+    # max_by LWW path, operators/lww.py:78-100) ride reduce + tombstones +
+    # finalize; outputs mirror the three handling modes (double / string /
+    # precise-unscaled) so DuckDB can hash-match each.
+    def cdc_types_deep(spark, sf_dir):
+        flat = _flat_log(spark, sf_dir)
+        is_up = F.col("op").isin("i", "u")
+        is_r = F.col("op") == "r"
+        DS = "(event_id*7919) % 1000000"
+        dec_str = F.expr(
+            f"concat(cast(cast((({DS}) - ({DS}) % 10000)/10000 as bigint) as string),"
+            f" '.', lpad(cast(({DS}) % 10000 as string), 4, '0'))"
+        )
+        dec = dec_str.cast("decimal(18,4)")
+        attrs = F.create_map(
+            F.lit("k1"), F.expr("cast((event_id*13)%1000 as int)"),
+            F.lit("k2"), F.expr("cast((event_id*29)%1000 as int)"),
+        )
+
+        def cell(val, set_col, null_val):
+            return F.struct(
+                F.when(set_col, val).otherwise(null_val).alias("value"),
+                F.lit(None).cast("long").alias("deletion_ts"),
+                set_col.alias("set"),
+            )
+
+        cells = F.when(
+            is_up,
+            F.struct(
+                cell(dec, F.col("text_set"), F.lit(None).cast("decimal(18,4)")).alias("dec"),
+                cell(attrs, F.col("role_set"), F.lit(None).cast("map<string,int>")).alias("attrs"),
+            ),
+        )
+        bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
+        log = flat.select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "op",
+            "conv_id",
+            F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+            "writetime",
+            cells.alias("cells"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")),
+                    F.col("r_lo"),
+                ),
+            ).alias("range_start"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")),
+                    F.col("r_hi"),
+                ),
+            ).alias("range_end"),
+            F.lit(1).alias("schema_version"),
+            F.lit(False).alias("snapshot"),
+        )
+        st = _state_pipeline(log, ["dec", "attrs"], ("i", "u", "d", "p", "r"))
+        return st.select(
+            "conv_id",
+            "turn_idx",
+            F.col("dec").cast("double").alias("dec_double"),
+            F.col("dec").cast("string").alias("dec_string"),
+            (F.col("dec") * 10000).cast("long").alias("dec_unscaled"),
+            F.when(
+                F.col("attrs").isNotNull(),
+                F.concat(
+                    F.lit("k1="), F.col("attrs")["k1"].cast("string"),
+                    F.lit(",k2="), F.col("attrs")["k2"].cast("string"),
+                ),
+            ).alias("attrs_s"),
+        )
+
+    q["cdc_types_deep"] = cdc_types_deep
+
     # ======================================================================
     # training-data pipeline operators (documents / embeddings tables)
     # ======================================================================
@@ -692,6 +836,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_topk(embs, embs.where(F.col("vec_id") < 8), k=5, n_centroids=16, n_probe=4)
 
     q["emb_ivf_topk"] = emb_ivf_topk
+
+    def emb_ivf_kmeans_topk(spark, sf_dir):
+        # IVF with REAL k-means centroids (2 deterministic Lloyd iterations
+        # as DataFrame aggregates) instead of the smallest-id convention
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        embs = _embs(spark, sf_dir)
+        cents = kmeans_centroids(embs, n_centroids=16, n_iters=2)
+        return ivf_topk(
+            embs, embs.where(F.col("vec_id") < 8), k=5, n_probe=4, centroids=cents
+        )
+
+    q["emb_ivf_kmeans_topk"] = emb_ivf_kmeans_topk
 
     def emb_near_dups(spark, sf_dir):
         from debezium_connector_cassandra_spark.operators.similarity import (
@@ -866,6 +1026,92 @@ SELECT conv_id, turn_idx, tags_s, pair_s FROM fin WHERE live OR anycell
     # field exclude: same as full state but tool cells never set
     o["cdc_field_exclude"] = _duck(
         _oracle_state_sql("iudpr").replace("u.tool_set", "FALSE")
+    )
+
+    # R1 routing modes: md5-derived 60-bit hash of the mode's key, mod 8
+    from debezium_connector_cassandra_spark.functions.text import HASH64_DUCK
+
+    _pv_h = HASH64_DUCK.format(x="conv_id")
+    _cf_h = HASH64_DUCK.format(
+        x="concat('CommitLog-7-', CAST(segment_id AS varchar), '.log')"
+    )
+    o["cdc_routing_modes"] = _duck(
+        f"""
+SELECT 'partition_values' AS mode, CAST({_pv_h} % 8 AS int) AS queue,
+       count(*) AS n_events, count(DISTINCT conv_id) AS n_keys,
+       count(DISTINCT segment_id) AS n_segments
+FROM m GROUP BY 1, 2
+UNION ALL
+SELECT 'commitlog_file' AS mode, CAST({_cf_h} % 8 AS int) AS queue,
+       count(*) AS n_events, count(DISTINCT conv_id) AS n_keys,
+       count(DISTINCT segment_id) AS n_segments
+FROM m GROUP BY 1, 2
+"""
+    )
+
+    # D3 classify-and-skip: slot arithmetic mirrors tag_table_kinds
+    # (position/16 == event_id % 1000 in the derived log)
+    _SLOT = "(CAST(event_id % 1000 AS bigint) + segment_id) % 11"
+    o["cdc_unsupported_counts"] = _duck(
+        f"""
+SELECT CASE WHEN {_SLOT} = 0 THEN 'COUNTER_MUTATION'
+            WHEN {_SLOT} = 1 THEN 'MATERIALIZED_VIEW'
+            WHEN {_SLOT} = 2 THEN 'SECONDARY_INDEX'
+            ELSE 'SUPPORTED' END AS partition_type,
+       count(*) AS n
+FROM m GROUP BY 1
+"""
+    )
+    o["cdc_unsupported_state"] = _duck(
+        f", msup AS (SELECT * FROM m WHERE {_SLOT} > 2)"
+        + _oracle_state_sql("iudpr")
+        .replace("FROM m WHERE", "FROM msup WHERE")
+        .replace("JOIN m t", "JOIN msup t")
+    )
+
+    # deep types: the oracle computes the three decimal-handling-mode
+    # renderings and the map string directly from the winning event
+    _DSQ = "(event_id*7919) % 1000000"
+    o["cdc_types_deep"] = _duck(
+        f"""
+, ups AS (
+  SELECT *,
+    concat(CAST(CAST((({_DSQ}) - ({_DSQ}) % 10000)/10000 AS bigint) AS varchar),
+           '.', lpad(CAST(({_DSQ}) % 10000 AS varchar), 4, '0')) AS dec_val,
+    concat('k1=', CAST((event_id*13)%1000 AS varchar),
+           ',k2=', CAST((event_id*29)%1000 AS varchar)) AS attrs_val
+  FROM m WHERE op IN ('i','u')
+),
+keys AS (SELECT DISTINCT conv_id, turn_idx FROM ups),
+tomb AS (
+  SELECT k.conv_id, k.turn_idx, max(t.writetime) AS tomb_wt
+  FROM keys k JOIN m t ON t.conv_id = k.conv_id
+   AND ((t.op = 'd' AND t.turn_idx = k.turn_idx)
+     OR (t.op = 'p')
+     OR (t.op = 'r'
+         AND (CASE WHEN t.lo_incl THEN k.turn_idx >= t.r_lo ELSE k.turn_idx > t.r_lo END)
+         AND (CASE WHEN t.hi_incl THEN k.turn_idx <= t.r_hi ELSE k.turn_idx < t.r_hi END)))
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT u.conv_id, u.turn_idx,
+    last(u.dec_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS dec_s,
+    last(u.attrs_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.role_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS attrs_s,
+    bool_or(u.op = 'i' AND u.writetime > coalesce(t.tomb_wt, -1)) AS live,
+    (bool_or(u.text_set AND u.writetime > coalesce(t.tomb_wt, -1))
+     OR bool_or(u.role_set AND u.writetime > coalesce(t.tomb_wt, -1))) AS anycell
+  FROM ups u LEFT JOIN tomb t USING (conv_id, turn_idx)
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx,
+       CAST(dec_s AS double) AS dec_double,
+       dec_s AS dec_string,
+       CAST(CAST(dec_s AS DECIMAL(18,4)) * 10000 AS bigint) AS dec_unscaled,
+       attrs_s
+FROM fin WHERE live OR anycell
+"""
     )
 
     o["cdc_snapshot_union"] = _duck(
@@ -1228,6 +1474,93 @@ SELECT query_id, neighbor_id, rank, sim FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+    # IVF over k-means centroids: the oracle replays the engine's 2
+    # deterministic Lloyd iterations exactly — integer-quantized vectors,
+    # exact integer sums per cluster, one division per coordinate, rounded
+    # argmin assignment with centroid_id tie-break.
+    _KM_SCALE = 1_000_000
+    km_parts = [
+        f"""
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS double) * {_KM_SCALE}) AS bigint)) AS qvec
+  FROM embeddings
+),
+vv AS (SELECT vec_id, list_transform(qvec, x -> CAST(x AS double) / {_KM_SCALE}) AS vec FROM qv),
+c0 AS (SELECT vec_id AS centroid_id, vec AS c_vec FROM vv WHERE vec_id < 16)"""
+    ]
+    for it in (1, 2):
+        km_parts.append(
+            f"""
+s{it} AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(1.0 - {DOT.format(a="v.vec", b="c.c_vec")}, 4) + 0.0 AS dist
+  FROM vv v, c{it - 1} c
+),
+a{it} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM s{it}
+  ) WHERE rn = 1
+),
+n{it} AS (SELECT centroid_id, count(*) AS n FROM a{it} GROUP BY 1),
+m{it} AS (
+  SELECT a.centroid_id, t.i, CAST(sum(q.qvec[t.i]) AS double) AS s
+  FROM a{it} a JOIN qv q USING (vec_id), generate_series(1, 64) t(i)
+  GROUP BY 1, 2
+),
+c{it} AS (
+  SELECT m.centroid_id, list(m.s / (n.n * {_KM_SCALE}) ORDER BY m.i) AS c_vec
+  FROM m{it} m JOIN n{it} n USING (centroid_id) GROUP BY 1
+)"""
+        )
+    o["emb_ivf_kmeans_topk"] = (
+        "WITH "
+        + ",".join(km_parts)
+        + f""",
+fs AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(1.0 - {DOT.format(a="e.embedding", b="c.c_vec")}, 4) + 0.0 AS dist
+  FROM embeddings e, c2 c
+),
+fa AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM fs
+  ) WHERE rn = 1
+),
+kq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+kqs AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         round(1.0 - {DOT.format(a="q.qv", b="c.c_vec")}, 4) + 0.0 AS dist
+  FROM kq q, c2 c
+),
+kprobes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM kqs
+  ) WHERE rn <= 4
+),
+kscored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round({DOT.format(a="p.qv", b="e.embedding")}, 4) + 0.0 AS sim
+  FROM kprobes p
+  JOIN fa a ON a.centroid_id = p.centroid_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM kscored
+) WHERE rank <= 5
+"""
+    )
 
     def _band_bucket_sql(band: int) -> str:
         return " + ".join(

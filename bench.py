@@ -9,7 +9,9 @@ Prints ONE JSON line:
 Two parts:
 1. headline engine queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR
    (default /root/testdata/sf0.1), each timed with a noop write so the whole
-   plan executes;
+   plan executes; $SPARK_GRAFT_TRIALS (default 3) interleaved trials,
+   medians reported (single trials are meaningless under this host's 2-4x
+   CPU swings — see BASELINE.md);
 2. the end-to-end CDC pipeline (BASELINE.json metric): generate a seeded
    mutation log sized to the scale factor (20M events/sf), then run the
    micro-batch runner (decode -> dedup -> cell-LWW reduce -> tombstones ->
@@ -47,16 +49,31 @@ HEADLINE_QUERIES = [
 ]
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(
+    spark, sf_dir: str, trials: int | None = None
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Headline query timings: >=3 INTERLEAVED trials, median per query.
+
+    Interleaving (trial 1 runs every query, then trial 2, ...) plus medians
+    is the protocol BASELINE.md uses for the scaling criterion — this host's
+    minute-to-minute CPU swings (measured 2-4x) make single trials unusable
+    for round-over-round comparison. Trial 0 additionally pays the one-time
+    derived-log build + persist; the median discards it.
+    Returns (medians, all trial timings)."""
+    import statistics
+
     import __spark_entry__ as em
 
+    trials = trials or int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     qs = em.queries()
-    out = {}
-    for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        _noop_write(qs[name](spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
-    return out
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
+    for _ in range(trials):
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            _noop_write(qs[name](spark, sf_dir))
+            raw[name].append(round(time.time() - t0, 3))
+    medians = {name: round(statistics.median(ts), 3) for name, ts in raw.items()}
+    return medians, raw
 
 
 def bench_pipeline(
@@ -143,8 +160,9 @@ def main() -> None:
 
     t_total = time.time()
     queries: dict[str, float] = {}
+    query_trials: dict[str, list[float]] = {}
     if not args.pipeline_only:
-        queries = bench_queries(spark, sf_dir)
+        queries, query_trials = bench_queries(spark, sf_dir)
 
     workdir = args.keep_workdir or tempfile.mkdtemp(prefix="cdc_bench_")
     try:
@@ -163,6 +181,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_trials": query_trials,
                 "sf": sf,
                 "cpus": int(cpus),
                 "pipeline": pipeline,

@@ -42,6 +42,52 @@ def partition_type() -> Column:
     )
 
 
+# D3 full form — the reference classifies mutations against COUNTER /
+# MATERIALIZED_VIEW / SECONDARY_INDEX tables as unsupported partition types
+# and skips them with a warning instead of emitting change events
+# (PartitionType.getPartitionType:137-156, validity :158-168, handler guard
+# Cassandra4CommitLogReadHandlerImpl.java:102-168). The log models the table
+# kind as an optional ``table_kind`` column ('cdc' / absent = capturable).
+UNSUPPORTED_KINDS: dict[str, str] = {
+    "counter": "COUNTER_MUTATION",
+    "materialized_view": "MATERIALIZED_VIEW",
+    "secondary_index": "SECONDARY_INDEX",
+}
+
+
+def partition_type_full(kind_col: str = "table_kind") -> Column:
+    """partition_type() extended with the unsupported classes (getPartitionType
+    full switch): an unsupported table kind wins over the op-derived class."""
+    expr = partition_type()
+    for kind, ptype in UNSUPPORTED_KINDS.items():
+        expr = F.when(F.col(kind_col) == kind, F.lit(ptype)).otherwise(expr)
+    return expr
+
+
+def split_unsupported(df: DataFrame, kind_col: str = "table_kind"):
+    """Classify-and-skip: returns ``(supported, skipped_counts)`` where
+    ``supported`` excludes unsupported-partition mutations and
+    ``skipped_counts`` is a per-PartitionType count relation (the
+    counted-and-warned skip the reference performs; the counts land in the
+    runner's _metrics as n_skipped).
+
+    A log without the ``table_kind`` column is entirely capturable —
+    supported passes through unchanged and the skip relation is empty."""
+    if kind_col not in df.columns:
+        empty = df.sparkSession.createDataFrame(
+            [], "partition_type string, n_skipped long"
+        )
+        return df, empty
+    is_unsup = F.col(kind_col).isin(*UNSUPPORTED_KINDS.keys())
+    supported = df.where(~F.coalesce(is_unsup, F.lit(False)))
+    skipped = (
+        df.where(is_unsup)
+        .groupBy(partition_type_full(kind_col).alias("partition_type"))
+        .agg(F.count("*").alias("n_skipped"))
+    )
+    return supported, skipped
+
+
 def row_type() -> Column:
     """RowType analog: INSERT iff liveness set; DELETE iff row deletion set;
     else UPDATE (reference RowType predicates :226-236)."""

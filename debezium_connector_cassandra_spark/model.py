@@ -291,6 +291,10 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("n_decoded", T.LongType(), False),
         T.StructField("n_deduped", T.LongType(), False),
         T.StructField("n_applied", T.LongType(), False),
+        # D3: unsupported-partition mutations counted-and-skipped this batch
+        # (COUNTER / MATERIALIZED_VIEW / SECONDARY_INDEX — PartitionType
+        # guard, Cassandra4CommitLogReadHandlerImpl.java:102-168)
+        T.StructField("n_skipped", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
     ]
 )

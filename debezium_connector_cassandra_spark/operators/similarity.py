@@ -119,6 +119,7 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) coarse quantization: assign every vector to its
     nearest centroid. Centroids are the vectors with the ``n_centroids``
@@ -135,20 +136,33 @@ def ivf_assign(
     Returns (vec_id, centroid_id, dist) where dist = 1 - cosine (rounded for
     cross-engine determinism; ``+ 0.0`` normalizes IEEE ``-0.0`` so hashes
     agree across engines; ties break on centroid_id ASC via the packed
-    encoding's lexicographic order)."""
-    cents = _centroids(embeddings, n_centroids, id_col, vec_col)
+    encoding's lexicographic order).
+
+    ``centroids``: optional (centroid_id, c_vec) relation overriding the
+    smallest-id convention — e.g. the output of ``kmeans_centroids``."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _centroids(embeddings, n_centroids, id_col, vec_col)
+    )
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).join(F.broadcast(cents)).withColumn(
         "dist", F.round(F.lit(1.0) - _dot(F.col("vec"), F.col("c_vec")), 4) + F.lit(0.0)
     )
-    # (dist, centroid_id) packed into ONE orderable long so min() compiles to
-    # HashAggregate (a struct-min falls back to SortAggregate — per-partition
-    # sorts of the x n_centroids scored relation). dist has 4 decimals, so
-    # d4 = dist*10^4 is integral; enc = d4 * 2^20 + centroid_id preserves
-    # (dist ASC, centroid_id ASC) lexicographic order. Decode is exact:
-    # d4/10000.0 is the correctly-rounded double of the same 4-dp decimal
-    # F.round produced.
+    return _argmin_centroid(scored)
+
+
+def _argmin_centroid(scored: DataFrame) -> DataFrame:
+    """Per-vec_id argmin over (dist, centroid_id) as a HASH aggregate.
+
+    (dist, centroid_id) packed into ONE orderable long so min() compiles to
+    HashAggregate (a struct-min falls back to SortAggregate — per-partition
+    sorts of the x n_centroids scored relation). dist has 4 decimals, so
+    d4 = dist*10^4 is integral; enc = d4 * 2^20 + centroid_id preserves
+    (dist ASC, centroid_id ASC) lexicographic order. Decode is exact:
+    d4/10000.0 is the correctly-rounded double of the same 4-dp decimal
+    F.round produced."""
     _M = 1 << 20
     d4 = F.round(F.col("dist") * 10000, 0).cast("long")
     enc = d4 * _M + F.col("centroid_id").cast("long")
@@ -162,6 +176,74 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding corpus, entirely as
+    DataFrame aggregates — the production replacement for the smallest-id
+    centroid convention (feed the result to ``ivf_assign``/``ivf_topk`` via
+    ``centroids=``).
+
+    Determinism (so a DuckDB oracle can replay it bit-identically):
+    - vectors are QUANTIZED to integers (round(x * scale)) once up front;
+      every centroid update is an exact INTEGER sum (order-insensitive,
+      overflow-free: |q| <= 2*scale, n <= corpus) divided once — so centroid
+      coordinates are identical doubles regardless of partitioning;
+    - assignment reuses the rounded-dist packed-long argmin (ties ->
+      centroid_id ASC);
+    - seeding = the ``n_centroids`` smallest-id vectors (k-means++ would add
+      data-dependent randomness the oracle can't replay cheaply).
+
+    Plan shape per iteration: one broadcast join (tiny centroid set) + one
+    packed-long argmin hash-aggregate + one per-cluster integer-sum
+    hash-aggregate (``dim`` sum columns over the un-exploded quantized
+    vectors — no coordinate explode). Empty clusters drop (their centroid
+    disappears), exactly as a plain Lloyd iteration does."""
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+        ).alias("qvec"),
+    )
+    v = q.select(
+        "vec_id",
+        F.transform("qvec", lambda x: x.cast("double") / scale).alias("vec"),
+    )
+    cents = v.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("c_vec")
+    )
+    for _ in range(n_iters):
+        scored = v.join(F.broadcast(cents)).withColumn(
+            "dist",
+            F.round(F.lit(1.0) - _dot(F.col("vec"), F.col("c_vec")), 4) + F.lit(0.0),
+        )
+        assigned = _argmin_centroid(scored).select("vec_id", "centroid_id")
+        sums = (
+            assigned.join(q, "vec_id")
+            .groupBy("centroid_id")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("qvec", j + 1)).alias(f"_s{j}")
+                    for j in range(dim)
+                ],
+            )
+        )
+        cents = sums.select(
+            "centroid_id",
+            F.array(
+                *[F.col(f"_s{j}") / (F.col("n") * scale) for j in range(dim)]
+            ).alias("c_vec"),
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -170,6 +252,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score a query only against vectors whose
     centroid is among the query's ``n_probe`` nearest centroids.
@@ -181,8 +264,12 @@ def ivf_topk(
     bucket join instead of the exact path's O(N·Q) cross product."""
     from pyspark.sql import Window as W
 
-    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col)
-    cents = _centroids(embeddings, n_centroids, id_col, vec_col)
+    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col, centroids=centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else _centroids(embeddings, n_centroids, id_col, vec_col)
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_scored = q.join(F.broadcast(cents)).withColumn(
         "dist", F.round(F.lit(1.0) - _dot(F.col("q_vec"), F.col("c_vec")), 4) + F.lit(0.0)

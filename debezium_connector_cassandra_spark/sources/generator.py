@@ -394,6 +394,25 @@ def split_range_markers(log: DataFrame) -> DataFrame:
     return rest.unionByName(starts).unionByName(ends)
 
 
+def tag_table_kinds(log: DataFrame, period: int = 11) -> DataFrame:
+    """Deterministically tag a slice of the log as mutations against
+    unsupported table kinds (D3 classify-and-skip scenario: COUNTER /
+    MATERIALIZED_VIEW / SECONDARY_INDEX tables interleaved in the same
+    commit log — PartitionType.getPartitionType:137-156). One row in
+    ``period`` gets a rotating unsupported kind; the rest are 'cdc'."""
+    slot = F.pmod(
+        (F.col("position") / F.lit(16)).cast("long") + F.col("segment_id"),
+        F.lit(period),
+    )
+    return log.withColumn(
+        "table_kind",
+        F.when(slot == 0, F.lit("counter"))
+        .when(slot == 1, F.lit("materialized_view"))
+        .when(slot == 2, F.lit("secondary_index"))
+        .otherwise(F.lit("cdc")),
+    )
+
+
 def write_mutation_log(df: DataFrame, path: str) -> None:
     """Persist partitioned by segment_id — the commit-log directory analog.
 

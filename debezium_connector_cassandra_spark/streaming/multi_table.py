@@ -387,6 +387,7 @@ class MultiTableRunner:
                     "n_decoded": n_decoded,
                     "n_deduped": n_applied,
                     "n_applied": n_applied,
+                    "n_skipped": 0,
                     "wall_ms": wall_ms,
                 }
             ]

@@ -83,6 +83,8 @@ class CdcRunner:
         unpaired_range_markers: bool = False,
         validate_writetimes: bool = False,
         commit_log_transfer=None,
+        routing_mode: str | None = None,
+        n_queues: int = 8,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -99,6 +101,19 @@ class CdcRunner:
         # R7 post-process plug-in (CommitLogTransfer analog): archives/
         # deletes a segment AFTER its state commit, export, and lineage land
         self.commit_log_transfer = commit_log_transfer
+        # R1 routing-mode knob (EventOrderGuaranteeMode,
+        # CassandraConnectorConfig.java:246-288): None lets the apply's own
+        # key shuffle route; a mode co-locates each ordered queue in one
+        # shuffle partition before the apply (getPartitionQueueIndex analog)
+        if routing_mode is not None:
+            from ..operators.routing import ROUTING_MODES
+
+            if routing_mode not in ROUTING_MODES:
+                raise ValueError(
+                    f"unknown routing mode {routing_mode!r}; use one of {ROUTING_MODES}"
+                )
+        self.routing_mode = routing_mode
+        self.n_queues = n_queues
         if export_changes:
             from ..lake.changes import ChangesExport
 
@@ -232,6 +247,22 @@ class CdcRunner:
                 (F.col("segment_id") < last) | (F.col("position") <= position_limit)
             )
 
+        # D3 full form: mutations against COUNTER / MATERIALIZED_VIEW /
+        # SECONDARY_INDEX tables are counted-and-skipped (PartitionType
+        # guard, Cassandra4CommitLogReadHandlerImpl.java:102-168). Skipped
+        # rows still advance offsets/lineage — the reference reads past them
+        # — so the pre-scan sees the full log and only the apply is filtered.
+        from ..functions.decode import UNSUPPORTED_KINDS
+
+        has_kind = "table_kind" in log.columns
+        is_unsup = (
+            F.coalesce(
+                F.col("table_kind").isin(*UNSUPPORTED_KINDS.keys()), F.lit(False)
+            )
+            if has_kind
+            else F.lit(False)
+        )
+
         # ONE narrow pre-scan job (4 pruned columns): per-segment offsets +
         # lineage stats AND the global op-kind counts apply_batch needs —
         # folded so the batch is never scanned a third time
@@ -240,16 +271,20 @@ class CdcRunner:
             .agg(
                 F.count("*").alias("n"),
                 F.max("position").alias("max_pos"),
+                F.sum(is_unsup.cast("long")).alias("n_unsup"),
                 *[
-                    F.sum((F.col("op") == k).cast("long")).alias(f"n_{k}")
+                    F.sum(((F.col("op") == k) & ~is_unsup).cast("long")).alias(f"n_{k}")
                     for k in _KINDS
                 ],
             )
             .collect()
         )
         n_decoded = sum(r["n"] for r in seg_rows)
-        batch_stats = {"n": n_decoded}
+        n_skipped = sum(r["n_unsup"] for r in seg_rows)
+        batch_stats = {"n": n_decoded - n_skipped}
         batch_stats.update({k: sum(r[f"n_{k}"] for r in seg_rows) for k in _KINDS})
+        if has_kind:
+            log = log.where(~is_unsup).drop("table_kind")
 
         if self.unpaired_range_markers:
             # D9 full form: the log carries separate start/end bound markers;
@@ -275,6 +310,10 @@ class CdcRunner:
             from ..operators.lww import validate_unique_writetimes
 
             validate_unique_writetimes(log)
+        if self.routing_mode is not None:
+            from ..operators.routing import route_df
+
+            log = route_df(log, self.routing_mode, self.n_queues).drop("queue")
         stats = apply_batch(self.target, log, stats=batch_stats)
 
         now_ms = int(time.time() * 1000)
@@ -362,6 +401,12 @@ class CdcRunner:
                 full = read_mutation_log(
                     self.spark, self.log_path, schema=self.log_schema
                 ).where(F.col("segment_id").isin(*[int(s) for s in done_now]))
+                if "table_kind" in full.columns:
+                    # skipped partition types emit no change events either
+                    from ..functions.decode import split_unsupported
+
+                    full, _ = split_unsupported(full)
+                    full = full.drop("table_kind")
                 if self.unpaired_range_markers:
                     # same D9 pairing the apply path ran — without it each
                     # range delete would export as TWO unpaired 't' marker
@@ -397,6 +442,7 @@ class CdcRunner:
                     "n_decoded": n_decoded,
                     "n_deduped": stats["n_events"],
                     "n_applied": stats["n_events"],
+                    "n_skipped": n_skipped,
                     "wall_ms": wall_ms,
                 }
             ]
@@ -405,6 +451,7 @@ class CdcRunner:
             "batch_id": batch_id,
             "segments": segment_ids,
             "n_decoded": n_decoded,
+            "n_skipped": n_skipped,
             "wall_ms": wall_ms,
             **stats,
         }

@@ -27,7 +27,7 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-for name in ["emb_ivf_assign", "emb_ivf_topk", "emb_cosine_topk"]:
+for name in sys.argv[2].split(",") if len(sys.argv) > 2 else ["emb_ivf_assign", "emb_ivf_topk", "emb_cosine_topk"]:
     got = entry_mod.queries()[name](spark, SF_DIR).toPandas()
     want = con.sql(entry_mod.oracle_sql()[name]).df()
     got = got[sorted(got.columns)].sort_values(list(sorted(got.columns))).reset_index(drop=True)
