@@ -46,6 +46,14 @@ def main() -> None:
                    help="suppress null-value tombstone records after deletes")
     r.add_argument("--unpaired-range-markers", action="store_true",
                    help="log carries separate start/end bound markers")
+    r.add_argument("--routing-mode", choices=["partition_values", "commitlog_file"],
+                   default=None,
+                   help="R1 queue-index mode (event.order.guarantee analog); "
+                        "default lets the apply's key shuffle route")
+    r.add_argument("--n-queues", type=int, default=8)
+    r.add_argument("--infer-log-schema", action="store_true",
+                   help="read the log with schema inference (evolved cells / "
+                        "table_kind classify-and-skip columns)")
 
     s = sub.add_parser("stream", help="structured-streaming tail")
     s.add_argument("--log", required=True)
@@ -109,6 +117,9 @@ def main() -> None:
             export_changes=args.export_changes,
             tombstones_on_delete=not args.no_delete_tombstones,
             unpaired_range_markers=args.unpaired_range_markers,
+            routing_mode=args.routing_mode,
+            n_queues=args.n_queues,
+            log_schema="infer" if args.infer_log_schema else None,
         )
         results = runner.run(max_batches=args.max_batches)
         print(json.dumps({"batches": results}))
