@@ -83,12 +83,15 @@ def bench_pipeline(
     n_events: int | None = None,
     segments_per_batch: int = 4,
     binary_payload: bool = False,
+    payload_format: str = "json",
 ) -> dict:
     """End-to-end pipeline bench. ``binary_payload=True`` runs the
-    full-fidelity configuration: the log carries serialized binary payloads
-    (as the reference's commit-log segments do) and the pipeline decodes
-    them (S5) before applying — the compute-dense mode used for the scaling
-    measurement."""
+    full-fidelity configuration: the log carries serialized payloads (as the
+    reference's commit-log segments do) and the pipeline decodes them (S5)
+    before applying — the compute-dense mode used for the scaling
+    measurement. ``payload_format`` picks the codec: 'json' (from_json
+    codegen) or 'binary' (the real binary layout + vectorized numpy
+    decoder, functions/binary_codec.py)."""
     from debezium_connector_cassandra_spark.sources.generator import (
         gen_mutation_log,
         write_mutation_log,
@@ -113,9 +116,18 @@ def bench_pipeline(
     )
     log_schema = None
     if binary_payload:
-        from debezium_connector_cassandra_spark.functions.decode import encode_payload
+        if payload_format == "binary":
+            from debezium_connector_cassandra_spark.functions.binary_codec import (
+                encode_payload_binary,
+            )
 
-        log = encode_payload(log)
+            log = encode_payload_binary(log)
+        else:
+            from debezium_connector_cassandra_spark.functions.decode import (
+                encode_payload,
+            )
+
+            log = encode_payload(log)
         log_schema = "infer"
     write_mutation_log(log, log_path)
     gen_sec = time.time() - t0
@@ -125,6 +137,7 @@ def bench_pipeline(
         segments_per_batch=segments_per_batch, n_buckets=32,
         log_schema=log_schema,
         decode_binary=binary_payload,
+        payload_format=payload_format,
     )
     t0 = time.time()
     results = runner.run()
@@ -148,6 +161,10 @@ def main() -> None:
     ap.add_argument("--n-events", type=int, default=None)
     ap.add_argument("--segments-per-batch", type=int, default=4)
     ap.add_argument("--keep-workdir", default=None)
+    ap.add_argument("--binary-payload", action="store_true",
+                    help="serialize payloads and decode (S5 fidelity mode)")
+    ap.add_argument("--payload-format", choices=["json", "binary"],
+                    default="json")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,7 +184,10 @@ def main() -> None:
     workdir = args.keep_workdir or tempfile.mkdtemp(prefix="cdc_bench_")
     try:
         pipeline = bench_pipeline(
-            spark, sf, workdir, n_events=args.n_events, segments_per_batch=args.segments_per_batch
+            spark, sf, workdir, n_events=args.n_events,
+            segments_per_batch=args.segments_per_batch,
+            binary_payload=args.binary_payload,
+            payload_format=args.payload_format,
         )
     finally:
         if not args.keep_workdir:

@@ -1,0 +1,263 @@
+"""S5 full form — a REAL binary commit-log payload codec.
+
+The reference delegates segment parsing to Cassandra's own binary reader
+(``Cassandra4CommitLogSegmentReader.java:29-33``); without a live Cassandra
+the engine defines its own compact binary mutation encoding (little-endian,
+schema-ordered) and decodes it with a FULLY VECTORIZED numpy parser inside
+``mapInPandas`` — zero per-row Python in the decode hot path (the previous
+JSON payload mode remains as the cross-check twin; tests assert bit-parity).
+
+Record layout for the transcript cells struct (role, text, tool: string;
+ts: timestamp->epoch-micros i64), all little-endian:
+
+    offset  size  field
+    0       1     set bitmap        (bit i: cell i carries a value/assignment)
+    1       1     null bitmap       (bit i: set cell i assigns NULL)
+    2       1     deletion bitmap   (bit i: cell i has deletion_ts)
+    3       32    deletion_ts[4]    (i64 each; garbage where bit unset)
+    35      8     ts value          (i64 epoch micros; garbage when unset/null)
+    43      12    str lengths [3]   (u32 role, text, tool; 0 when unset/null)
+    55      ...   string bytes      (role || text || tool, utf-8)
+
+Fixed-width header + length-prefixed tails is what makes the decoder
+vectorizable: every field position is arithmetic over the record-start
+offsets (which Arrow hands us for free) — the string gathers use the
+standard segment-gather (repeat + arange) trick, one fancy-index per column.
+
+The ENCODER is producer-side (the Cassandra-node analog writing segments) —
+it runs once per synthetic log build, off the measured path, so it uses a
+plain per-row pack. The DECODER is the hot path and is pure numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_STR_COLS = ("role", "text", "tool")
+_ALL_COLS = ("role", "text", "tool", "ts")  # schema order == bit order
+_FIXED = 55
+
+
+# ---------------------------------------------------------------------------
+# encoder (producer side, cold path)
+# ---------------------------------------------------------------------------
+
+def _encode_cells_py(cells) -> bytes | None:
+    """Pack ONE cells struct (Row / dict) into the binary layout."""
+    if cells is None:
+        return None
+
+    def cell(name):
+        c = cells[name] if isinstance(cells, dict) else getattr(cells, name)
+        if c is None:
+            return None, None, False
+        get = (lambda f: c.get(f)) if isinstance(c, dict) else (lambda f: getattr(c, f))
+        return get("value"), get("deletion_ts"), bool(get("set"))
+
+    set_b = null_b = del_b = 0
+    dels = [0] * 4
+    ts_val = 0
+    strs = []
+    lens = [0, 0, 0]
+    for i, name in enumerate(_ALL_COLS):
+        value, deletion_ts, is_set = cell(name)
+        if is_set:
+            set_b |= 1 << i
+            if value is None:
+                null_b |= 1 << i
+            elif name == "ts":
+                t = pd.Timestamp(value)
+                ts_val = t.value // 1000  # ns -> us
+            else:
+                b = str(value).encode("utf-8")
+                strs.append(b)
+                lens[i] = len(b)
+        if deletion_ts is not None:
+            del_b |= 1 << i
+            dels[i] = int(deletion_ts)
+    head = struct.pack(
+        "<BBB4qq3I", set_b, null_b, del_b, *dels, ts_val, *lens
+    )
+    return head + b"".join(strs)
+
+
+def encode_payload_binary(df: DataFrame) -> DataFrame:
+    """cells -> binary payload (producer analog). Cold path — per-row pack
+    inside an Arrow batch; the generator runs it once per log build."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def _enc(cells: pd.DataFrame) -> pd.Series:
+        # a struct column arrives as a DataFrame of its fields; a NULL cells
+        # struct arrives as an all-None row -> NULL payload (tombstone ops)
+        cols = {n: cells[n] for n in _ALL_COLS}
+        out = []
+        for i in range(len(cells)):
+            row = {n: cols[n].iloc[i] for n in _ALL_COLS}
+            out.append(
+                None
+                if all(v is None for v in row.values())
+                else _encode_cells_py(row)
+            )
+        return pd.Series(out)
+
+    return df.withColumn("payload", _enc(F.col("cells"))).drop("cells")
+
+
+# ---------------------------------------------------------------------------
+# decoder (hot path, vectorized)
+# ---------------------------------------------------------------------------
+
+_FLAT_FIELDS: list[tuple[str, T.DataType]] = []
+for _c in _ALL_COLS:
+    _FLAT_FIELDS.append(
+        (f"_{_c}_value", T.TimestampType() if _c == "ts" else T.StringType())
+    )
+    _FLAT_FIELDS.append((f"_{_c}_del", T.LongType()))
+    _FLAT_FIELDS.append((f"_{_c}_set", T.BooleanType()))
+
+
+def _segment_gather(data: np.ndarray, pos: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Gather variable-length segments data[pos[i] : pos[i]+lens[i]] into one
+    contiguous buffer + end-offsets — vectorized (repeat + arange trick)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(len(lens) + 1, dtype=np.int64)
+    ends = np.cumsum(lens)
+    starts_out = ends - lens
+    idx = np.repeat(pos - starts_out, lens) + np.arange(total, dtype=np.int64)
+    offsets = np.concatenate([[0], ends])
+    return data[idx], offsets
+
+
+def _decode_batch(payload: pd.Series) -> dict[str, np.ndarray | pd.Series]:
+    """Decode one Arrow batch of binary payloads — pure numpy, no per-row
+    Python. NULL payloads (tombstone ops) yield all-unset rows; the caller
+    masks the struct to NULL JVM-side."""
+    n = len(payload)
+    present = payload.notna().to_numpy()
+    # concatenate present records into one buffer with record offsets
+    blobs = payload[present]
+    rec_lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+    data = (
+        np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        if len(blobs)
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts = np.concatenate([[0], np.cumsum(rec_lens)[:-1]]) if len(blobs) else np.empty(0, dtype=np.int64)
+    starts = starts.astype(np.int64)
+
+    def u8(off):
+        return data[starts + off] if len(starts) else np.empty(0, dtype=np.uint8)
+
+    def i64(off):
+        if not len(starts):
+            return np.empty(0, dtype=np.int64)
+        idx = (starts[:, None] + (off + np.arange(8))[None, :]).ravel()
+        return data[idx].view(np.int64) if idx.size else np.empty(0, dtype=np.int64)
+
+    def u32(off):
+        if not len(starts):
+            return np.empty(0, dtype=np.uint32)
+        idx = (starts[:, None] + (off + np.arange(4))[None, :]).ravel()
+        return data[idx].view(np.uint32) if idx.size else np.empty(0, dtype=np.uint32)
+
+    set_b, null_b, del_b = u8(0), u8(1), u8(2)
+    out: dict[str, object] = {}
+    str_lens = [u32(43 + 4 * i).astype(np.int64) for i in range(3)]
+    str_pos = []
+    pos = starts + _FIXED
+    for i in range(3):
+        str_pos.append(pos)
+        pos = pos + str_lens[i]
+
+    import pyarrow as pa
+
+    present_idx = np.flatnonzero(present)
+
+    def expand_obj(vals_obj):
+        """Scatter per-present-record object values back to batch grain."""
+        full = np.full(n, None, dtype=object)
+        full[present_idx] = vals_obj
+        return full
+
+    for i, name in enumerate(_ALL_COLS):
+        bit = 1 << i
+        is_set = (set_b & bit) > 0
+        is_null = (null_b & bit) > 0
+        has_del = (del_b & bit) > 0
+        has_val = is_set & ~is_null
+        dels = i64(3 + 8 * i)
+        if name == "ts":
+            raw = i64(35)
+            full = np.full(n, np.datetime64("NaT"), dtype="datetime64[ns]")
+            if len(starts):
+                full[present_idx[has_val]] = (raw[has_val] * 1000).astype(
+                    "datetime64[ns]"
+                )
+            out[f"_{name}_value"] = pd.Series(full)
+        else:
+            lens_i = np.where(has_val, str_lens[i], 0).astype(np.int64)
+            buf, offs = _segment_gather(data, str_pos[i], lens_i)
+            # zero-copy Arrow string build — utf-8 materializes C-side,
+            # no per-record Python decode loop
+            arr = pa.StringArray.from_buffers(
+                len(offs) - 1,
+                pa.py_buffer(offs.astype(np.int32)),
+                pa.py_buffer(buf),
+            )
+            svals = arr.to_numpy(zero_copy_only=False)
+            svals = np.where(has_val, svals, None) if len(starts) else svals
+            out[f"_{name}_value"] = expand_obj(svals)
+        dels_obj = dels.astype(object)
+        if len(starts):
+            dels_obj[~has_del] = None
+        out[f"_{name}_del"] = expand_obj(dels_obj)
+        set_full = np.zeros(n, dtype=bool)
+        if len(starts):
+            set_full[present_idx] = is_set
+        out[f"_{name}_set"] = set_full
+    return out
+
+
+def decode_payload_binary(df: DataFrame) -> DataFrame:
+    """Binary payload -> typed cells. mapInPandas with a flat intermediate
+    schema (numpy-friendly primitive columns); the cells struct reassembles
+    JVM-side in whole-stage codegen, with NULL-payload rows mapping to a
+    NULL struct exactly like ``from_json(NULL)`` in the JSON twin."""
+    passthrough = [f for f in df.schema.fields if f.name != "payload"]
+    out_schema = T.StructType(
+        passthrough
+        + [T.StructField("_has_cells", T.BooleanType(), False)]
+        + [T.StructField(nm, dt, True) for nm, dt in _FLAT_FIELDS]
+    )
+    pass_names = [f.name for f in passthrough]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {c: pdf[c] for c in pass_names}
+            cols["_has_cells"] = pdf["payload"].notna()
+            cols.update(_decode_batch(pdf["payload"]))
+            yield pd.DataFrame(cols)
+
+    flat = df.mapInPandas(run, out_schema)
+    cell_structs = []
+    for name in _ALL_COLS:
+        cell_structs.append(
+            F.struct(
+                F.col(f"_{name}_value").alias("value"),
+                F.col(f"_{name}_del").cast("long").alias("deletion_ts"),
+                F.col(f"_{name}_set").alias("set"),
+            ).alias(name)
+        )
+    return (
+        flat.withColumn(
+            "cells", F.when(F.col("_has_cells"), F.struct(*cell_structs))
+        )
+        .drop("_has_cells", *[nm for nm, _ in _FLAT_FIELDS])
+    )

@@ -180,9 +180,21 @@ _PAYLOAD_JSON_SCHEMA = CELLS_TYPE
 
 
 def encode_payload(df: DataFrame) -> DataFrame:
-    """Serialize cells -> binary payload (producer-side analog)."""
+    """Serialize cells -> binary payload (producer-side analog).
+
+    timestampFormat carries full MICROSECOND precision — the default to_json
+    format truncates to millis, silently dropping the sub-ms part of
+    Cassandra's micro-precision timestamps (the decoder side always parsed
+    SSSSSS; the binary codec twin exposed the asymmetry)."""
     return df.withColumn(
-        "payload", F.encode(F.to_json(F.col("cells")), "utf-8")
+        "payload",
+        F.encode(
+            F.to_json(
+                F.col("cells"),
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"},
+            ),
+            "utf-8",
+        ),
     ).drop("cells")
 
 

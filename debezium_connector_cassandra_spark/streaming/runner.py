@@ -78,6 +78,7 @@ class CdcRunner:
         schema_changes: tuple = (),
         log_schema=None,
         decode_binary: bool = False,
+        payload_format: str = "json",
         export_changes: bool = False,
         tombstones_on_delete: bool = True,
         unpaired_range_markers: bool = False,
@@ -94,6 +95,9 @@ class CdcRunner:
         self.schema_changes = list(schema_changes)
         self.log_schema = log_schema
         self.decode_binary = decode_binary
+        if payload_format not in ("json", "binary"):
+            raise ValueError(f"unknown payload_format {payload_format!r}")
+        self.payload_format = payload_format
         self.export_changes = export_changes
         self.tombstones_on_delete = tombstones_on_delete
         self.unpaired_range_markers = unpaired_range_markers
@@ -201,6 +205,15 @@ class CdcRunner:
     def open_segments(self) -> set[int]:
         return set(self._open)
 
+    def _decode_payload(self, log: DataFrame) -> DataFrame:
+        if self.payload_format == "binary":
+            from ..functions.binary_codec import decode_payload_binary
+
+            return decode_payload_binary(log)
+        from ..functions.decode import decode_payload_jvm
+
+        return decode_payload_jvm(log)
+
     # -- planning -----------------------------------------------------------
     def pending_segments(self) -> list[int]:
         all_segments = discover_segments(self.log_path)
@@ -294,10 +307,10 @@ class CdcRunner:
             log = pair_range_markers(log)
         if self.decode_binary:
             # S5: the log carries serialized payload bytes (the commit-log
-            # fidelity mode) — decode into typed cells before applying
-            from ..functions.decode import decode_payload_jvm
-
-            log = decode_payload_jvm(log)
+            # fidelity mode) — decode into typed cells before applying.
+            # 'json' = from_json codegen twin; 'binary' = the real binary
+            # layout with the vectorized numpy decoder (binary_codec.py)
+            log = self._decode_payload(log)
         if self.excluded_fields:
             # D10 field-exclude rewrites cells; the full envelope (ts_ms,
             # source, ...) is NOT built on the apply hot path — it exists for
@@ -415,9 +428,7 @@ class CdcRunner:
 
                     full = pair_range_markers(full)
                 if self.decode_binary:
-                    from ..functions.decode import decode_payload_jvm
-
-                    full = decode_payload_jvm(full)
+                    full = self._decode_payload(full)
                 self.changes.write_segments(
                     envelope_rows(
                         full,
