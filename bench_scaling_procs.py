@@ -105,11 +105,26 @@ def main() -> None:
     ap.add_argument("--n-events", type=int, default=2_000_000)
     ap.add_argument("--trials", type=int, default=5, help="interleaved single/quad trial pairs")
     ap.add_argument("--no-pin", action="store_true", help="disable taskset CPU pinning")
+    ap.add_argument("--capacity-probe", action="store_true",
+                    help="interleave engine-independent host-capacity probes "
+                         "(bench_host_capacity kernel) with each trial pair and "
+                         "report host-normalized efficiency")
+    ap.add_argument("--probe-duration", type=float, default=10.0)
+    ap.add_argument("--out", default="scaling_procs.json",
+                    help="output file name under BENCH/")
     args = ap.parse_args()
     pin = not args.no_pin and shutil.which("taskset") is not None
 
-    singles, quads = [], []
+    if args.capacity_probe:
+        from bench_host_capacity import _run_group
+
+    singles, quads, caps = [], [], []
     for t in range(args.trials):
+        if args.capacity_probe:
+            c4 = _run_group(list(range(4)), args.probe_duration)
+            c16 = _run_group(list(range(16)), args.probe_duration)
+            caps.append(round(c16 / c4, 3))
+            print(f"# trial {t} host capacity 16v4: {caps[-1]}x", file=sys.stderr)
         s = run_worker(args.n_events, cpuset=QUAD_CPUSETS[0] if pin else None, slot=0)
         singles.append(s["events_per_sec"])
         print(f"# trial {t} single(local[4]): {s['events_per_sec']} ev/s", file=sys.stderr)
@@ -142,8 +157,20 @@ def main() -> None:
         "speedup": round(med_q / med_s, 3),
         "efficiency": round(med_q / (4 * med_s), 3),
     }
+    if caps:
+        # engine speedup each pair, divided by the capacity the HOST granted
+        # 16-vs-4 busy pinned vCPUs at that moment (pure-numpy probe, no
+        # Spark): the engine's share of achievable scaling
+        per_pair_norm = [
+            round((q / s) / c, 3) for q, s, c in zip(quads, singles, caps)
+        ]
+        summary["host_capacity_ratios"] = caps
+        summary["per_pair_host_normalized_scaling"] = per_pair_norm
+        summary["median_host_normalized_scaling"] = round(
+            statistics.median(per_pair_norm), 3
+        )
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
-    with open(os.path.join(HERE, "BENCH", "scaling_procs.json"), "w") as f:
+    with open(os.path.join(HERE, "BENCH", args.out), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 
