@@ -225,6 +225,255 @@ def _decode_batch(payload: pd.Series) -> dict[str, np.ndarray | pd.Series]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# generic per-TableSpec codec (multi-table S5: one segment interleaves every
+# cdc table's mutations; each decodes against ITS schema — SchemaHolder +
+# CommitLogReadHandler pair). Generalized layout, n = len(spec.payload):
+#
+#   0        B      set bitmap      (B = ceil(n/8), little-endian bit i)
+#   B        B      null bitmap
+#   2B       B      deletion bitmap
+#   3B       8n     deletion_ts[n]  (i64)
+#   3B+8n    8n     value slots[n]  (i64: numeric/micros value, or the
+#                                    byte-length of this cell's string tail)
+#   3B+16n   ...    string tails, cell order, utf-8
+#
+# Supported cell types: string, bigint/int, double (bit-pattern in the
+# slot), timestamp (epoch micros). Others raise — declared boundary.
+# ---------------------------------------------------------------------------
+
+
+def _spec_kinds(spec) -> list[str]:
+    kinds = []
+    for name, dtype in spec.payload:
+        s = dtype.simpleString()
+        if s == "string":
+            kinds.append("str")
+        elif s in ("bigint", "int", "smallint", "tinyint"):
+            kinds.append("int")
+        elif s == "boolean":
+            kinds.append("bool")
+        elif s == "double":
+            kinds.append("double")
+        elif s == "timestamp":
+            kinds.append("ts")
+        else:
+            raise NotImplementedError(
+                f"binary codec: unsupported cell type {s!r} for {name!r} "
+                "(string/int/double/timestamp supported; use the JSON codec "
+                "for collection/UDT payloads)"
+            )
+    return kinds
+
+
+def encode_table_payload_binary(df: DataFrame, spec) -> DataFrame:
+    """cells -> binary payload under ``spec``'s layout (producer side)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    names = [n for n, _ in spec.payload]
+    kinds = _spec_kinds(spec)
+    n = len(names)
+    nb = math.ceil(n / 8)
+
+    def pack_row(row: dict) -> bytes | None:
+        if all(v is None for v in row.values()):
+            return None
+        set_b = bytearray(nb)
+        null_b = bytearray(nb)
+        del_b = bytearray(nb)
+        dels = [0] * n
+        slots = [0] * n
+        tails = []
+        for i, (name, kind) in enumerate(zip(names, kinds)):
+            c = row[name]
+            if c is None:
+                continue
+            get = (lambda f: c.get(f)) if isinstance(c, dict) else (lambda f: getattr(c, f))
+            if get("deletion_ts") is not None:
+                del_b[i // 8] |= 1 << (i % 8)
+                dels[i] = int(get("deletion_ts"))
+            if not get("set"):
+                continue
+            set_b[i // 8] |= 1 << (i % 8)
+            v = get("value")
+            if v is None:
+                null_b[i // 8] |= 1 << (i % 8)
+            elif kind == "str":
+                b = str(v).encode("utf-8")
+                tails.append(b)
+                slots[i] = len(b)
+            elif kind in ("int", "bool"):
+                slots[i] = int(v)
+            elif kind == "double":
+                slots[i] = struct.unpack("<q", struct.pack("<d", float(v)))[0]
+            else:  # ts
+                slots[i] = pd.Timestamp(v).value // 1000
+        return (
+            bytes(set_b) + bytes(null_b) + bytes(del_b)
+            + struct.pack(f"<{n}q", *dels)
+            + struct.pack(f"<{n}q", *slots)
+            + b"".join(tails)
+        )
+
+    @pandas_udf(T.BinaryType())
+    def _enc(cells: pd.DataFrame) -> pd.Series:
+        cols = {nm: cells[nm] for nm in names}
+        return pd.Series(
+            [
+                pack_row({nm: cols[nm].iloc[i] for nm in names})
+                for i in range(len(cells))
+            ]
+        )
+
+    return df.withColumn("payload", _enc(F.col("cells"))).drop("cells")
+
+
+def decode_table_payload_binary(df: DataFrame, spec) -> DataFrame:
+    """Binary payload -> ``spec``'s typed cells — vectorized numpy decode
+    (the per-TableSpec twin of decode_payload_binary; drops the routing
+    columns like multi_table.decode_table_payload does)."""
+    import math
+
+    names = [n for n, _ in spec.payload]
+    kinds = _spec_kinds(spec)
+    n = len(names)
+    nb = math.ceil(n / 8)
+    fixed = 3 * nb + 16 * n
+
+    flat_fields: list[tuple[str, T.DataType]] = []
+    for (nm, dtype), kind in zip(spec.payload, kinds):
+        flat_fields.append((f"_{nm}_value", dtype))
+        flat_fields.append((f"_{nm}_del", T.LongType()))
+        flat_fields.append((f"_{nm}_set", T.BooleanType()))
+
+    passthrough = [
+        f for f in df.schema.fields if f.name not in ("payload", "keyspace", "table")
+    ]
+    out_schema = T.StructType(
+        passthrough
+        + [T.StructField("_has_cells", T.BooleanType(), False)]
+        + [T.StructField(nm, dt, True) for nm, dt in flat_fields]
+    )
+    pass_names = [f.name for f in passthrough]
+
+    def decode_batch(payload: pd.Series) -> dict:
+        import pyarrow as pa
+
+        n_rows = len(payload)
+        present = payload.notna().to_numpy()
+        blobs = payload[present]
+        rec_lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+        data = (
+            np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            if len(blobs)
+            else np.empty(0, dtype=np.uint8)
+        )
+        starts = (
+            np.concatenate([[0], np.cumsum(rec_lens)[:-1]]).astype(np.int64)
+            if len(blobs)
+            else np.empty(0, dtype=np.int64)
+        )
+        present_idx = np.flatnonzero(present)
+
+        def u8(off):
+            return data[starts + off] if len(starts) else np.empty(0, dtype=np.uint8)
+
+        def i64(off):
+            if not len(starts):
+                return np.empty(0, dtype=np.int64)
+            idx = (starts[:, None] + (off + np.arange(8))[None, :]).ravel()
+            return data[idx].view(np.int64)
+
+        def expand_obj(vals_obj):
+            full = np.full(n_rows, None, dtype=object)
+            full[present_idx] = vals_obj
+            return full
+
+        out: dict = {}
+        slots = [i64(3 * nb + 8 * n + 8 * i) for i in range(n)]
+        # string tail positions: cumulative over string cells in order
+        pos = starts + fixed
+        str_pos: dict[int, np.ndarray] = {}
+        for i, kind in enumerate(kinds):
+            if kind == "str":
+                str_pos[i] = pos
+                pos = pos + np.where(
+                    ((u8(i // 8) >> (i % 8)) & 1).astype(bool)
+                    & ~((u8(nb + i // 8) >> (i % 8)) & 1).astype(bool),
+                    slots[i],
+                    0,
+                )
+        for i, (nm, kind) in enumerate(zip(names, kinds)):
+            byte_i, bit_i = i // 8, i % 8
+            is_set = ((u8(byte_i) >> bit_i) & 1).astype(bool)
+            is_null = ((u8(nb + byte_i) >> bit_i) & 1).astype(bool)
+            has_del = ((u8(2 * nb + byte_i) >> bit_i) & 1).astype(bool)
+            has_val = is_set & ~is_null
+            dels = i64(3 * nb + 8 * i)
+            if kind == "str":
+                lens_i = np.where(has_val, slots[i], 0).astype(np.int64)
+                buf, offs = _segment_gather(data, str_pos[i], lens_i)
+                arr = pa.StringArray.from_buffers(
+                    len(offs) - 1,
+                    pa.py_buffer(offs.astype(np.int32)),
+                    pa.py_buffer(buf),
+                )
+                svals = arr.to_numpy(zero_copy_only=False)
+                svals = np.where(has_val, svals, None) if len(starts) else svals
+                out[f"_{nm}_value"] = expand_obj(svals)
+            elif kind == "ts":
+                full = np.full(n_rows, np.datetime64("NaT"), dtype="datetime64[ns]")
+                if len(starts):
+                    full[present_idx[has_val]] = (slots[i][has_val] * 1000).astype(
+                        "datetime64[ns]"
+                    )
+                out[f"_{nm}_value"] = pd.Series(full)
+            else:
+                if kind == "double":
+                    vals = slots[i].view(np.float64).astype(object)
+                elif kind == "bool":
+                    vals = (slots[i] != 0).astype(object)
+                else:
+                    vals = slots[i].astype(object)
+                if len(starts):
+                    vals[~has_val] = None
+                out[f"_{nm}_value"] = expand_obj(vals)
+            dels_obj = dels.astype(object)
+            if len(starts):
+                dels_obj[~has_del] = None
+            out[f"_{nm}_del"] = expand_obj(dels_obj)
+            set_full = np.zeros(n_rows, dtype=bool)
+            if len(starts):
+                set_full[present_idx] = is_set
+            out[f"_{nm}_set"] = set_full
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {c: pdf[c] for c in pass_names}
+            cols["_has_cells"] = pdf["payload"].notna()
+            cols.update(decode_batch(pdf["payload"]))
+            yield pd.DataFrame(cols)
+
+    flat = df.drop("keyspace", "table").mapInPandas(run, out_schema)
+    cell_structs = [
+        F.struct(
+            F.col(f"_{nm}_value").alias("value"),
+            F.col(f"_{nm}_del").cast("long").alias("deletion_ts"),
+            F.col(f"_{nm}_set").alias("set"),
+        ).alias(nm)
+        for nm in names
+    ]
+    return (
+        flat.withColumn(
+            "cells", F.when(F.col("_has_cells"), F.struct(*cell_structs))
+        )
+        .drop("_has_cells", *[nm for nm, _ in flat_fields])
+    )
+
+
 def decode_payload_binary(df: DataFrame) -> DataFrame:
     """Binary payload -> typed cells. mapInPandas with a flat intermediate
     schema (numpy-friendly primitive columns); the cells struct reassembles

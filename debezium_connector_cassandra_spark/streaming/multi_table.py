@@ -132,6 +132,7 @@ class MultiTableRunner:
         table_changes: tuple = (),
         export_changes: bool = False,
         tombstones_on_delete: bool = True,
+        payload_format: str = "json",
     ):
         """``table_changes``: DDL ledger of table lifecycle events —
         ``(effective_segment, "create", TableSpec)`` /
@@ -148,6 +149,11 @@ class MultiTableRunner:
         self.table_changes = list(table_changes)
         self.export_changes = export_changes
         self.tombstones_on_delete = tombstones_on_delete
+        if payload_format not in ("json", "binary"):
+            raise ValueError(f"unknown payload_format {payload_format!r}")
+        # 'json' = per-table from_json (codegen); 'binary' = the per-TableSpec
+        # binary layout + vectorized numpy decoder (functions/binary_codec.py)
+        self.payload_format = payload_format
         self.targets: dict[str, CdcTarget] = {}
         for fqtn, spec in self.specs.items():
             self._ensure_target(fqtn, spec)
@@ -307,7 +313,14 @@ class MultiTableRunner:
                     & (F.col("table") == spec.table)
                     & F.col("segment_id").isin(*[int(s) for s in pending])
                 )
-                sub = decode_table_payload(sub, spec)
+                if self.payload_format == "binary":
+                    from ..functions.binary_codec import (
+                        decode_table_payload_binary,
+                    )
+
+                    sub = decode_table_payload_binary(sub, spec)
+                else:
+                    sub = decode_table_payload(sub, spec)
                 results[fqtn] = apply_batch(self.targets[fqtn], sub, stats=stats)
                 if self.export_changes:
                     # MT batches consume whole segments, so the decoded slice

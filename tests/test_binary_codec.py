@@ -113,3 +113,99 @@ def test_deletion_ts_and_sparse_cells_survive(spark):
     spark_df = spark.createDataFrame(rows, schema)
     back = decode_payload_binary(encode_payload_binary(spark_df))
     assert _sorted_rows(back) == _sorted_rows(spark_df)
+
+
+# --- generic per-TableSpec codec (multi-table S5) --------------------------
+
+def _mt_setup(spark):
+    from pyspark.sql import types as T
+
+    from debezium_connector_cassandra_spark.model import TableSpec
+    from debezium_connector_cassandra_spark.sources.generator import (
+        gen_multi_table_log,
+    )
+
+    specs = [
+        TableSpec(
+            keyspace="ks1", table="transcripts",
+            payload=(
+                ("role", T.StringType()), ("text", T.StringType()),
+                ("tool", T.StringType()), ("ts", T.TimestampType()),
+            ),
+        ),
+        TableSpec(
+            keyspace="ks2", table="runs",
+            partition_key="run_id", clustering_key="step",
+            payload=(
+                ("status", T.StringType()), ("latency_ms", T.LongType()),
+                ("ok", T.BooleanType()),
+            ),
+        ),
+    ]
+    log = gen_multi_table_log(spark, specs, 1600, events_per_segment=800, seed=23)
+    return specs, log
+
+
+def test_spec_codec_parity_with_json(spark):
+    from debezium_connector_cassandra_spark.functions.binary_codec import (
+        decode_table_payload_binary,
+        encode_table_payload_binary,
+    )
+    from debezium_connector_cassandra_spark.streaming.multi_table import (
+        decode_table_payload,
+    )
+
+    specs, log = _mt_setup(spark)
+    for spec in specs:
+        sl = log.where(
+            (F.col("keyspace") == spec.keyspace) & (F.col("table") == spec.table)
+        )
+        via_json = decode_table_payload(sl, spec)
+        reencoded = encode_table_payload_binary(via_json, spec).withColumns(
+            {"keyspace": F.lit(spec.keyspace), "table": F.lit(spec.table)}
+        )
+        via_bin = decode_table_payload_binary(reencoded, spec)
+        cols = ["segment_id", "position", "cells"]
+        assert _sorted_rows(via_bin.select(*cols)) == \
+            _sorted_rows(via_json.select(*cols)), spec.fqtn
+
+
+def test_multi_table_runner_binary_state_equals_json(spark, tmp_path):
+    from debezium_connector_cassandra_spark.functions.binary_codec import (
+        decode_table_payload_binary,
+        encode_table_payload_binary,
+    )
+    from debezium_connector_cassandra_spark.streaming.multi_table import (
+        MultiTableRunner,
+        decode_table_payload,
+    )
+
+    specs, log = _mt_setup(spark)
+    json_path = str(tmp_path / "log_json")
+    bin_path = str(tmp_path / "log_bin")
+    log.write.mode("overwrite").partitionBy("segment_id").parquet(json_path)
+    parts = []
+    for spec in specs:
+        sl = log.where(
+            (F.col("keyspace") == spec.keyspace) & (F.col("table") == spec.table)
+        )
+        parts.append(
+            encode_table_payload_binary(decode_table_payload(sl, spec), spec)
+            .withColumns(
+                {"keyspace": F.lit(spec.keyspace), "table": F.lit(spec.table)}
+            )
+            .select(*log.columns)
+        )
+    bin_log = parts[0].unionByName(parts[1])
+    bin_log.write.mode("overwrite").partitionBy("segment_id").parquet(bin_path)
+
+    rj = MultiTableRunner(spark, json_path, str(tmp_path / "tj"), specs, n_buckets=4)
+    rj.run()
+    rb = MultiTableRunner(
+        spark, bin_path, str(tmp_path / "tb"), specs, n_buckets=4,
+        payload_format="binary",
+    )
+    rb.run()
+    for spec in specs:
+        assert _sorted_rows(rj.read_table(spec.fqtn)) == \
+            _sorted_rows(rb.read_table(spec.fqtn)), spec.fqtn
