@@ -768,6 +768,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_dedup_jaccard"] = docs_dedup_jaccard
 
+    def docs_dup_clusters(spark, sf_dir):
+        # near-dup CLUSTERS: connected components over the jaccard pair
+        # graph, cluster_id = smallest member (canonical representative)
+        from debezium_connector_cassandra_spark.operators.text_dedup import (
+            dup_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        pairs = ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5, max_df=10)
+        return dup_clusters(pairs)
+
+    q["docs_dup_clusters"] = docs_dup_clusters
+
     def docs_minhash_lsh(spark, sf_dir):
         from debezium_connector_cassandra_spark.operators.text_dedup import (
             minhash_lsh_candidates,
@@ -1291,6 +1304,39 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE round(CAST(shared AS double) / (na.n + nb.n - shared), 4) >= 0.5
 """
+
+    # connected components via transitive closure (WITH RECURSIVE; UNION
+    # dedups so it terminates — near-dup components are tiny families)
+    o["docs_dup_clusters"] = (
+        CORPUS.replace("WITH corpus", "WITH RECURSIVE corpus")
+        + SHINGLES
+        + """
+, kept AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY 1
+                    HAVING count(DISTINCT doc_id) <= 10)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+jp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) p
+  JOIN sizes na ON na.doc_id = p.doc_a
+  JOIN sizes nb ON nb.doc_id = p.doc_b
+  WHERE round(CAST(shared AS double) / (na.n + nb.n - shared), 4) >= 0.5
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        UNION ALL SELECT doc_b, doc_a FROM jp),
+reach AS (
+  SELECT a AS doc, a AS label FROM sym
+  UNION
+  SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.doc
+)
+SELECT doc AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1
+"""
+    )
 
     o["docs_minhash_lsh"] = CORPUS + SHINGLES + f"""
 , mh AS (

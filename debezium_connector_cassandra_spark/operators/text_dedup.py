@@ -125,6 +125,58 @@ def minhash_lsh_candidates(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTER formation: connected components over a
+    near-dup pair relation -> (doc_id, cluster_id) with cluster_id = the
+    smallest doc_id in the component (the canonical representative a dedup
+    pipeline keeps).
+
+    Formulation: iterative min-label propagation as DataFrame joins — each
+    round every node takes min(own label, neighbors' labels); converged when
+    no label changes. Near-dup components are TINY (duplicate families, not
+    a web graph), so rounds ~ component diameter ~ 2-4; each round is one
+    equi-join + one hash aggregate, label relation localCheckpoint'ed so
+    lineage stays flat. At true graph scale the same loop upgrades to the
+    large-star/small-star contraction (alternating min-joins with the same
+    join shape); the driver-side convergence count is one scalar per round.
+    """
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.b == labels.doc)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, labels.doc == neigh.a, "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "doc")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
     """SimHash fingerprint: per token-hash bit, majority vote over tokens
     (tie -> 0); fingerprint = sum of winning bits.
