@@ -33,6 +33,10 @@ def main() -> None:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--hot-fraction", type=float, default=0.0)
     g.add_argument("--dup-fraction", type=float, default=0.0)
+    g.add_argument("--encode-payload", choices=["none", "json", "binary"],
+                   default="none",
+                   help="serialize cells into a payload column (S5 fidelity "
+                        "log; pair with run --decode-binary)")
 
     r = sub.add_parser("run", help="drain pending segments (micro-batch loop)")
     r.add_argument("--log", required=True)
@@ -54,6 +58,10 @@ def main() -> None:
     r.add_argument("--infer-log-schema", action="store_true",
                    help="read the log with schema inference (evolved cells / "
                         "table_kind classify-and-skip columns)")
+    r.add_argument("--decode-binary", action="store_true",
+                   help="log carries serialized payloads (S5 fidelity mode)")
+    r.add_argument("--payload-format", choices=["json", "binary"], default="json",
+                   help="payload codec for --decode-binary")
 
     s = sub.add_parser("stream", help="structured-streaming tail")
     s.add_argument("--log", required=True)
@@ -73,6 +81,7 @@ def main() -> None:
     rm.add_argument("--segments-per-batch", type=int, default=8)
     rm.add_argument("--n-buckets", type=int, default=64)
     rm.add_argument("--export-changes", action="store_true")
+    rm.add_argument("--payload-format", choices=["json", "binary"], default="json")
 
     sn = sub.add_parser("snapshot", help="bootstrap from an existing table")
     sn.add_argument("--source-table", required=True, help="parquet path of pre-existing transcripts")
@@ -106,6 +115,18 @@ def main() -> None:
             hot_fraction=args.hot_fraction,
             dup_fraction=args.dup_fraction,
         )
+        if args.encode_payload == "json":
+            from debezium_connector_cassandra_spark.functions.decode import (
+                encode_payload,
+            )
+
+            df = encode_payload(df)
+        elif args.encode_payload == "binary":
+            from debezium_connector_cassandra_spark.functions.binary_codec import (
+                encode_payload_binary,
+            )
+
+            df = encode_payload_binary(df)
         write_mutation_log(df, args.log)
         print(json.dumps({"generated": args.n_events, "log": args.log}))
         return
@@ -119,7 +140,9 @@ def main() -> None:
             unpaired_range_markers=args.unpaired_range_markers,
             routing_mode=args.routing_mode,
             n_queues=args.n_queues,
-            log_schema="infer" if args.infer_log_schema else None,
+            log_schema="infer" if (args.infer_log_schema or args.decode_binary) else None,
+            decode_binary=args.decode_binary,
+            payload_format=args.payload_format,
         )
         results = runner.run(max_batches=args.max_batches)
         print(json.dumps({"batches": results}))
@@ -148,6 +171,7 @@ def main() -> None:
             spark, args.log, args.target_root, specs,
             segments_per_batch=args.segments_per_batch, n_buckets=args.n_buckets,
             export_changes=args.export_changes,
+            payload_format=args.payload_format,
         )
         results = runner.run()
         print(json.dumps({
