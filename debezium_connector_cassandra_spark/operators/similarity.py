@@ -241,6 +241,16 @@ def kmeans_centroids(
                 *[F.col(f"_s{j}") / (F.col("n") * scale) for j in range(dim)]
             ).alias("c_vec"),
         )
+        # materialize the TINY centroid relation (<= n_centroids rows) on the
+        # driver between iterations — without this every downstream broadcast
+        # of `cents` re-executes the whole preceding Lloyd chain (the corpus
+        # scan times 2 per iteration); with it the final plan sees centroids
+        # as a literal local relation. Bounded bookkeeping, like the
+        # runner's offset collect.
+        rows = cents.collect()
+        cents = cents.sparkSession.createDataFrame(
+            rows, "centroid_id long, c_vec array<double>"
+        )
     return cents
 
 
