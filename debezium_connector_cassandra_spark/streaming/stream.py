@@ -79,16 +79,8 @@ class CdcStream:
         # loses data; re-applying is a harmless idempotent no-op). Spark
         # replays a failed micro-batch (at-least-once); apply_batch keeps
         # the table state exactly-once.
-        if self.runner.decode_binary:
-            from ..functions.decode import decode_payload_jvm
-
-            batch_df = decode_payload_jvm(batch_df)
-        if self.runner.excluded_fields:
-            from ..functions.decode import with_envelope
-
-            batch_df = with_envelope(
-                batch_df, excluded_fields=self.runner.excluded_fields
-            ).select(*[c for c in batch_df.columns])
+        # offsets/lineage stats over the RAW batch (skipped unsupported rows
+        # still advance offsets, matching the batch front-end's pre-scan)
         seg_rows = (
             batch_df.groupBy("segment_id", "log_partition")
             .agg(F.count("*").alias("n"), F.max("position").alias("max_pos"))
@@ -96,6 +88,21 @@ class CdcStream:
         )
         if not seg_rows:
             return
+        if "table_kind" in batch_df.columns:
+            # D3 classify-and-skip, same as the batch front-end
+            from ..functions.decode import split_unsupported
+
+            supported, _ = split_unsupported(batch_df)
+            batch_df = supported.drop("table_kind")
+        if self.runner.decode_binary:
+            # same codec selection as the batch front-end (json | binary)
+            batch_df = self.runner._decode_payload(batch_df)
+        if self.runner.excluded_fields:
+            from ..functions.decode import with_envelope
+
+            batch_df = with_envelope(
+                batch_df, excluded_fields=self.runner.excluded_fields
+            ).select(*[c for c in batch_df.columns])
         apply_batch(self.runner.target, batch_df)
         now_ms = int(time.time() * 1000)
         best: dict[int, tuple[int, int]] = {}

@@ -209,3 +209,33 @@ def test_multi_table_runner_binary_state_equals_json(spark, tmp_path):
     for spec in specs:
         assert _sorted_rows(rj.read_table(spec.fqtn)) == \
             _sorted_rows(rb.read_table(spec.fqtn)), spec.fqtn
+
+
+def test_streaming_binary_with_classify_skip(spark, tmp_path):
+    """Streaming front-end parity: binary codec + D3 classify-and-skip in
+    one run must equal the batch runner over the pre-filtered plain log."""
+    from debezium_connector_cassandra_spark.functions.decode import (
+        split_unsupported,
+    )
+    from debezium_connector_cassandra_spark.sources.generator import (
+        tag_table_kinds,
+    )
+    from debezium_connector_cassandra_spark.streaming.stream import CdcStream
+
+    log = gen_mutation_log(
+        spark, 2000, n_convs=25, events_per_segment=500, seed=31
+    )
+    tagged = tag_table_kinds(log)
+    write_mutation_log(encode_payload_binary(tagged), str(tmp_path / "log"))
+    r = CdcRunner(
+        spark, str(tmp_path / "log"), str(tmp_path / "t"), n_buckets=4,
+        log_schema="infer", decode_binary=True, payload_format="binary",
+    )
+    CdcStream(r, max_files_per_trigger=3).run_available(str(tmp_path / "ckpt"))
+
+    sup, _ = split_unsupported(tagged)
+    write_mutation_log(sup.drop("table_kind"), str(tmp_path / "log2"))
+    r2 = CdcRunner(spark, str(tmp_path / "log2"), str(tmp_path / "t2"), n_buckets=4)
+    r2.run()
+    assert _sorted_rows(r.target.read_transcripts()) == \
+        _sorted_rows(r2.target.read_transcripts())
