@@ -768,6 +768,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_dedup_jaccard"] = docs_dedup_jaccard
 
+    def docs_dedup_normalized(spark, sf_dir):
+        # near-exact dedup under text normalization: the corpus plus
+        # injected case/punctuation variants that exact md5 cannot group
+        from debezium_connector_cassandra_spark.operators.text_dedup import (
+            normalized_dedup,
+        )
+
+        docs = _docs(spark, sf_dir)
+        variants = docs.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        )
+        return normalized_dedup(_corpus(spark, sf_dir).unionByName(variants))
+
+    q["docs_dedup_normalized"] = docs_dedup_normalized
+
     def docs_dup_clusters(spark, sf_dir):
         # near-dup CLUSTERS: connected components over the jaccard pair
         # graph, cluster_id = smallest member (canonical representative)
@@ -1303,6 +1319,21 @@ FROM pairs
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE round(CAST(shared AS double) / (na.n + nb.n - shared), 4) >= 0.5
+"""
+
+    o["docs_dedup_normalized"] = CORPUS.replace(
+        ")\n", "  UNION ALL SELECT doc_id + 300000, upper(text) || ' !!'\n"
+        "    FROM documents WHERE doc_id % 10 = 3\n)\n", 1
+    ) + r"""
+, norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS nt
+  FROM corpus
+)
+SELECT md5(nt) AS norm_md5, min(doc_id) AS representative,
+       count(*) AS n_copies
+FROM norm GROUP BY 1 HAVING count(*) > 1
 """
 
     # connected components via transitive closure (WITH RECURSIVE; UNION

@@ -35,6 +35,28 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text(col: F.Column) -> F.Column:
+    """Canonical text form for near-exact dedup: lowercase, strip
+    punctuation, collapse whitespace runs, trim. Pure Catalyst expressions
+    (map-only, scan speed)."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def normalized_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-exact duplicate groups under text normalization — catches
+    case/punctuation/whitespace variants exact_dedup misses. Same one-hash-
+    aggregation shape as exact_dedup (map-side combine collapses dup-heavy
+    corpora before the shuffle)."""
+    return (
+        docs.groupBy(F.md5(normalize_text(F.col(text_col))).alias("norm_md5"))
+        .agg(F.min("doc_id").alias("representative"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
