@@ -467,6 +467,48 @@ class CdcRunner:
             **stats,
         }
 
+    # -- R10 metrics surface -------------------------------------------------
+    def streaming_metrics(self) -> dict:
+        """The reference's streaming JMX gauge VALUES
+        (CassandraStreamingMetrics.java:19-73) computed from bookkeeping
+        state — commit-log filename/position per log partition plus
+        processed/skipped totals. The transport (JMX MBean / HTTP) stays out
+        of scope per SURVEY (Spark UI / event log); the gauge semantics are
+        what a monitoring stack actually consumes."""
+        per_partition = {
+            lp: {
+                "commit_log_filename": f"CommitLog-7-{seg}.log",
+                "commit_log_position": pos,
+            }
+            for lp, (seg, pos) in sorted(self._watermarks.items())
+        }
+        if self.metrics.is_empty():
+            totals = {"n_batches": 0, "n_processed": 0, "n_skipped": 0,
+                      "last_batch_wall_ms": None}
+        else:
+            row = (
+                self.metrics.read()
+                .agg(
+                    F.count("*").alias("n_batches"),
+                    F.sum("n_applied").alias("n_processed"),
+                    F.sum("n_skipped").alias("n_skipped"),
+                    F.max(F.struct("batch_id", "wall_ms")).alias("last"),
+                )
+                .collect()[0]
+            )
+            totals = {
+                "n_batches": row["n_batches"],
+                "n_processed": row["n_processed"],
+                "n_skipped": row["n_skipped"],
+                "last_batch_wall_ms": row["last"]["wall_ms"],
+            }
+        return {
+            **totals,
+            "n_segments_done": len(self._done),
+            "n_segments_open": len(self._open),
+            "per_partition": per_partition,
+        }
+
     # -- the loop -----------------------------------------------------------
     def run(self, max_batches: int | None = None) -> list[dict]:
         """Drain pending segments in segment order, segments_per_batch at a

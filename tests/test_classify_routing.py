@@ -126,3 +126,36 @@ def test_unknown_routing_mode_rejected(spark, log, tmp_path):
     write_mutation_log(log, p)
     with pytest.raises(ValueError, match="routing mode"):
         CdcRunner(spark, p, str(tmp_path / "t"), routing_mode="bogus")
+
+
+def test_streaming_metrics_gauges(spark, log, tmp_path):
+    """R10: the CassandraStreamingMetrics gauge values (commit-log
+    filename/position per partition, processed/skipped totals) computed
+    from bookkeeping state — including after a restart (recovered state)."""
+    p = str(tmp_path / "log")
+    write_mutation_log(tag_table_kinds(log), p)
+    r = CdcRunner(
+        spark, p, str(tmp_path / "t"), n_buckets=4, log_schema="infer",
+        segments_per_batch=2,
+    )
+    r.run()
+    m = r.streaming_metrics()
+    assert m["n_processed"] > 0 and m["n_skipped"] > 0
+    assert m["n_segments_done"] == len(r.done_segments())
+    want = {
+        r_["log_partition"]: (r_["segment_id"], r_["position"])
+        for r_ in spark.read.parquet(p)
+        .groupBy("log_partition")
+        .agg(F.max(F.struct("segment_id", "position")).alias("w"))
+        .select("log_partition", "w.segment_id", "w.position")
+        .collect()
+    }
+    for lp, (seg, pos) in want.items():
+        g = m["per_partition"][lp]
+        assert g["commit_log_filename"] == f"CommitLog-7-{seg}.log"
+        assert g["commit_log_position"] == pos
+    # gauges survive a restart (recovered from bookkeeping tables)
+    r2 = CdcRunner(spark, p, str(tmp_path / "t"), n_buckets=4, log_schema="infer")
+    m2 = r2.streaming_metrics()
+    assert m2["per_partition"] == m["per_partition"]
+    assert m2["n_processed"] == m["n_processed"]
