@@ -813,6 +813,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_simhash"] = docs_simhash
 
+    def docs_simhash_dups(spark, sf_dir):
+        # the hamming retrieval that completes the SimHash family: banded
+        # multi-index (4x16-bit chunks of a 64-bit fingerprint), equi-join on
+        # (band, chunk) — exact recall for hamming <= 3 by pigeonhole — then
+        # bit_count(xor) verification. Plan: bucket equi-join, no cartesian.
+        from debezium_connector_cassandra_spark.operators.text_dedup import (
+            simhash_near_dups,
+        )
+
+        out = simhash_near_dups(
+            _corpus(spark, sf_dir), bits=64, bands=4, max_hamming=3
+        )
+        return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+    q["docs_simhash_dups"] = docs_simhash_dups
+
     def docs_quality(spark, sf_dir):
         from debezium_connector_cassandra_spark.functions.text import quality_features
 
@@ -1083,7 +1099,7 @@ FROM m GROUP BY 1, 2
     _SLOT = "(CAST(event_id % 1000 AS bigint) + segment_id) % 11"
     o["cdc_unsupported_counts"] = _duck(
         f"""
-SELECT CASE WHEN {_SLOT} = 0 THEN 'COUNTER_MUTATION'
+SELECT CASE WHEN {_SLOT} = 0 THEN 'COUNTER'
             WHEN {_SLOT} = 1 THEN 'MATERIALIZED_VIEW'
             WHEN {_SLOT} = 2 THEN 'SECONDARY_INDEX'
             ELSE 'SUPPORTED' END AS partition_type,
@@ -1404,6 +1420,34 @@ bits AS (
   FROM votes GROUP BY 1, 2
 )
 SELECT doc_id, CAST(sum(bv) AS bigint) AS simhash FROM bits GROUP BY 1
+"""
+
+    # all-pairs hamming oracle over the same 64-bit fingerprints — the banded
+    # engine plan must equal it exactly (bands=4 > max_hamming=3 pigeonhole)
+    o["docs_simhash_dups"] = CORPUS + f"""
+, tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM corpus
+),
+th AS (SELECT doc_id, {H.format(x="tok")} AS h FROM tok),
+votes AS (
+  SELECT doc_id, g.b,
+         CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM th, generate_series(0, 63) g(b)
+),
+bitvals AS (
+  SELECT doc_id, b,
+         CASE WHEN sum(v) > 0 THEN
+           CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS bigint)
+                ELSE (CAST(1 AS bigint) << b) END
+         ELSE 0 END AS bv
+  FROM votes GROUP BY 1, 2
+),
+fp AS (SELECT doc_id, CAST(sum(bv) AS bigint) AS simhash FROM bitvals GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
     o["docs_quality"] = """

@@ -135,6 +135,30 @@ def _segment_gather(data: np.ndarray, pos: np.ndarray, lens: np.ndarray) -> tupl
     return data[idx], offsets
 
 
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+def _string_array(offs: np.ndarray, buf: np.ndarray):
+    """Zero-copy Arrow string build from int64 end-offsets + utf-8 buffer.
+
+    A batch whose concatenated string bytes exceed 2^31 would silently wrap
+    under an int32 offset cast (corrupted strings, no error) — such batches
+    switch to LargeStringArray with true int64 offsets instead."""
+    import pyarrow as pa
+
+    if len(offs) and int(offs[-1]) > _INT32_MAX:
+        return pa.LargeStringArray.from_buffers(
+            len(offs) - 1,
+            pa.py_buffer(offs.astype(np.int64)),
+            pa.py_buffer(buf),
+        )
+    return pa.StringArray.from_buffers(
+        len(offs) - 1,
+        pa.py_buffer(offs.astype(np.int32)),
+        pa.py_buffer(buf),
+    )
+
+
 def _decode_batch(payload: pd.Series) -> dict[str, np.ndarray | pd.Series]:
     """Decode one Arrow batch of binary payloads — pure numpy, no per-row
     Python. NULL payloads (tombstone ops) yield all-unset rows; the caller
@@ -206,11 +230,7 @@ def _decode_batch(payload: pd.Series) -> dict[str, np.ndarray | pd.Series]:
             buf, offs = _segment_gather(data, str_pos[i], lens_i)
             # zero-copy Arrow string build — utf-8 materializes C-side,
             # no per-record Python decode loop
-            arr = pa.StringArray.from_buffers(
-                len(offs) - 1,
-                pa.py_buffer(offs.astype(np.int32)),
-                pa.py_buffer(buf),
-            )
+            arr = _string_array(offs, buf)
             svals = arr.to_numpy(zero_copy_only=False)
             svals = np.where(has_val, svals, None) if len(starts) else svals
             out[f"_{name}_value"] = expand_obj(svals)
@@ -415,11 +435,7 @@ def decode_table_payload_binary(df: DataFrame, spec) -> DataFrame:
             if kind == "str":
                 lens_i = np.where(has_val, slots[i], 0).astype(np.int64)
                 buf, offs = _segment_gather(data, str_pos[i], lens_i)
-                arr = pa.StringArray.from_buffers(
-                    len(offs) - 1,
-                    pa.py_buffer(offs.astype(np.int32)),
-                    pa.py_buffer(buf),
-                )
+                arr = _string_array(offs, buf)
                 svals = arr.to_numpy(zero_copy_only=False)
                 svals = np.where(has_val, svals, None) if len(starts) else svals
                 out[f"_{nm}_value"] = expand_obj(svals)

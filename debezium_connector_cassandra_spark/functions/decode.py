@@ -49,7 +49,7 @@ def partition_type() -> Column:
 # Cassandra4CommitLogReadHandlerImpl.java:102-168). The log models the table
 # kind as an optional ``table_kind`` column ('cdc' / absent = capturable).
 UNSUPPORTED_KINDS: dict[str, str] = {
-    "counter": "COUNTER_MUTATION",
+    "counter": "COUNTER",
     "materialized_view": "MATERIALIZED_VIEW",
     "secondary_index": "SECONDARY_INDEX",
 }

@@ -13,9 +13,14 @@ DataFrame plans that survive a 100 TB corpus:
 - minhash: 16 min-hashes banded 4x4; candidates = pairs sharing a band
            bucket. The band join touches only same-bucket pairs, which is
            the scale path (vs all-pairs jaccard).
-- simhash: 32-bit majority-vote fingerprint per doc; near-dups share all
-           but <=k bits (hamming join via band rotation not included here —
-           fingerprints themselves are the deliverable).
+- simhash: 32/64-bit majority-vote fingerprint per doc; near-dups share all
+           but <=k bits.
+- simhash_near_dups: the hamming-distance retrieval that completes the
+           SimHash family — banded multi-index (split the fingerprint into
+           b > k chunks; any pair within hamming k shares at least one
+           identical chunk by pigeonhole), equi-join on (band, chunk), then
+           verify candidates with bit_count(xor) <= k. Same band-bucket join
+           shape as MinHash-LSH: never all-pairs.
 """
 
 from __future__ import annotations
@@ -194,6 +199,15 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # a component with diameter > max_iters would silently return labels
+        # that are not yet the component minimum — refuse instead of
+        # diverging from the transitive-closure semantics
+        raise RuntimeError(
+            f"dup_clusters did not converge after {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters (rounds "
+            "scale with component diameter) or pre-contract the pair graph"
+        )
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -223,3 +237,81 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
             F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate retrieval: (doc_a, doc_b, hamming) pairs with
+    hamming(fp_a, fp_b) <= max_hamming.
+
+    Banded multi-index (the classic simhash dedup structure, e.g. Manku et
+    al. WWW'07): split the ``bits``-bit fingerprint into ``bands`` chunks of
+    bits/bands bits. Any pair within hamming distance k < bands differs in at
+    most k chunks, so by pigeonhole it shares >= 1 chunk verbatim — an
+    equi-join on (band, chunk) finds EVERY such pair (exact recall, no
+    all-pairs scan), and ``bit_count(xor)`` verifies candidates exactly.
+
+    100 TB shape: the join key space per band is 2^(bits/bands) buckets —
+    with bits=64, bands=4 that is 2^16 buckets/band, and expected bucket
+    occupancy N/65536, so candidate volume stays near-linear until corpora
+    where a wider fingerprint (or more bands + a second verify tier) is the
+    upgrade. The fingerprint relation is one row per doc (tiny next to the
+    token relation that produced it); the chunk explode is bands× that — not
+    a corpus-scale blowup.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) for "
+            "exact recall (pigeonhole guarantee)"
+        )
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide evenly into {bands} bands")
+    w = bits // bands
+    mask = (1 << w) - 1 if w < 64 else -1
+    fp = simhash(docs, bits=bits, text_col=text_col)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

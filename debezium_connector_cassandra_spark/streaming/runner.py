@@ -93,7 +93,7 @@ class CdcRunner:
         self.segments_per_batch = segments_per_batch
         self.excluded_fields = excluded_fields
         self.schema_changes = list(schema_changes)
-        self.log_schema = log_schema
+        self.log_schema = self._resolve_log_schema(log_schema)
         self.decode_binary = decode_binary
         if payload_format not in ("json", "binary"):
             raise ValueError(f"unknown payload_format {payload_format!r}")
@@ -146,6 +146,38 @@ class CdcRunner:
         if LakeTable.exists(path):
             return LakeTable(self.spark, path)
         return LakeTable.create(self.spark, path, schema, key_col=schema.fields[0].name, n_buckets=1)
+
+    def _resolve_log_schema(self, log_schema):
+        """D3 safety: the canonical read schema silently DROPS a ``table_kind``
+        column present on disk — counter/MV/SI mutations would then be applied
+        as normal rows, the opposite of the reference's unsupported-partition
+        guard (Cassandra4CommitLogReadHandlerImpl.java:102-168). Detect the
+        tagged-log case once per runner lifetime and auto-include the column
+        so classify-and-skip cannot be bypassed by a forgotten config."""
+        if log_schema is not None:
+            return log_schema
+        try:
+            on_disk = {f.name for f in self.spark.read.parquet(self.log_path).schema.fields}
+        except Exception:
+            return None  # log not written yet — canonical schema
+        if "table_kind" not in on_disk:
+            return None
+        import warnings
+
+        from pyspark.sql import types as T
+
+        from ..model import MUTATION_LOG_SCHEMA
+
+        warnings.warn(
+            "mutation log carries a 'table_kind' column not in the configured "
+            "schema; auto-including it so unsupported-partition mutations are "
+            "classified and skipped (pass log_schema explicitly to override)",
+            stacklevel=3,
+        )
+        return T.StructType(
+            list(MUTATION_LOG_SCHEMA.fields)
+            + [T.StructField("table_kind", T.StringType(), True)]
+        )
 
     # -- checkpoint state (recovered once per runner lifetime) ---------------
     def _load_watermarks(self) -> dict[int, tuple[int, int]]:

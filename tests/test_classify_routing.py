@@ -82,6 +82,31 @@ def test_unsupported_skipped_state_untouched(spark, log, tmp_path):
     assert kinds == set(UNSUPPORTED_KINDS.values())
 
 
+def test_tagged_log_autoincluded_without_schema_config(spark, log, tmp_path):
+    """A tagged log read with the DEFAULT schema config must still classify
+    and skip: the runner detects the on-disk table_kind column and
+    auto-includes it (warning), so counter/MV/SI mutations can never be
+    applied as normal rows by a forgotten log_schema='infer'."""
+    tagged = tag_table_kinds(log)
+    n_unsup = tagged.where(
+        F.col("table_kind").isin(*UNSUPPORTED_KINDS.keys())
+    ).count()
+    tag_path = str(tmp_path / "log_tagged")
+    write_mutation_log(tagged, tag_path)
+
+    supported, _ = split_unsupported(tagged)
+    base_path = str(tmp_path / "log_base")
+    write_mutation_log(supported.drop("table_kind"), base_path)
+    r_base = CdcRunner(spark, base_path, str(tmp_path / "t_base"), n_buckets=4)
+    r_base.run()
+
+    with pytest.warns(UserWarning, match="table_kind"):
+        r = CdcRunner(spark, tag_path, str(tmp_path / "t_tag"), n_buckets=4)
+    results = r.run()
+    assert sum(b["n_skipped"] for b in results) == n_unsup
+    assert _state_rows(r) == _state_rows(r_base)
+
+
 def test_routing_modes_contract(spark, log):
     # COMMITLOG_FILE: one segment -> exactly one queue
     per_seg = (

@@ -18,10 +18,12 @@ from debezium_connector_cassandra_spark.operators.multimodal import (
 )
 from debezium_connector_cassandra_spark.operators.similarity import cosine_topk
 from debezium_connector_cassandra_spark.operators.text_dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_dups,
 )
 from debezium_connector_cassandra_spark.sources.generator import gen_mutation_log
 
@@ -87,6 +89,46 @@ def test_simhash_near_dup_distance(spark):
     assert sh[0] == sh[1]
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+
+
+def test_simhash_near_dups_banded_join(spark):
+    """The hamming retrieval finds exactly the all-pairs-within-k set (the
+    banded index is exact by pigeonhole when bands > max_hamming)."""
+    docs = spark.createDataFrame(DOCS)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, bits=64, bands=8, max_hamming=6).collect()
+    }
+    # brute-force oracle over the same fingerprints
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=64).collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b): bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0  # exact dup pair always caught
+    with pytest.raises(ValueError, match="bands"):
+        simhash_near_dups(docs, bands=3, max_hamming=3)
+
+
+def test_dup_clusters_min_label_and_convergence_guard(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # a chain whose diameter exceeds max_iters must refuse, not return
+    # wrong labels silently
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iters=2)
 
 
 def test_cosine_topk_exact(spark):
