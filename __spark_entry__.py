@@ -339,6 +339,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_range_tombstones"] = _mk_state(("i", "u", "r"))
     q["cdc_full_state"] = _mk_state(("i", "u", "d", "p", "r"))
 
+    # --- logged-batch mutations: atomic multi-change records ----------------
+    def cdc_batch_mutations(spark, sf_dir):
+        # one Mutation = several row changes at ONE offset (handleMutation
+        # iterates getPartitionUpdates under a shared OffsetPosition,
+        # Cassandra4CommitLogReadHandlerImpl.java:255-272; BatchTest.java).
+        # Pack the derived log into 4-change batches, explode through the
+        # engine operator, materialize state — must equal the FLATTENED
+        # replay (the cdc_full_state oracle) exactly.
+        from debezium_connector_cassandra_spark.functions.decode import (
+            explode_batch_mutations,
+        )
+        from debezium_connector_cassandra_spark.sources.generator import (
+            pack_batches,
+        )
+
+        log = derived_log(spark, sf_dir)
+        batched = pack_batches(log, group_size=4)
+        return _state_pipeline(
+            explode_batch_mutations(batched), payload, ("i", "u", "d", "p", "r")
+        )
+
+    q["cdc_batch_mutations"] = cdc_batch_mutations
+
     # --- D10: field exclude --------------------------------------------------
     def cdc_field_exclude(spark, sf_dir):
         log = derived_log(spark, sf_dir)
@@ -731,6 +754,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_types_deep"] = cdc_types_deep
 
+    # --- varint.handling.mode through full state --------------------------
+    # The three reference modes (VarIntTypeDeserializer.java:38-63, config
+    # CassandraConnectorConfig.java:164-238): PRECISE -> decimal(38,0),
+    # LONG -> int64, STRING -> string — each as ITS OWN typed cell riding
+    # reduce + tombstones + finalize, types derived from the TypeMapper
+    # registry (functions/types.py). PRECISE and STRING render to the same
+    # digit string (BigDecimal(bigint) vs bigint.toString()) — the point is
+    # the TYPE each mode carries through the state machinery; LONG uses a
+    # long-safe value (Java's longValue() wrap for >63-bit varints has no
+    # SQL analog — declared boundary).
+    def cdc_types_varint(spark, sf_dir):
+        from debezium_connector_cassandra_spark.functions.types import (
+            TypeMapper,
+            VarintMode,
+        )
+
+        t_p = TypeMapper(varint_mode=VarintMode.PRECISE).spark_type("varint")
+        t_l = TypeMapper(varint_mode=VarintMode.LONG).spark_type("varint")
+        t_s = TypeMapper(varint_mode=VarintMode.STRING).spark_type("varint")
+
+        flat = _flat_log(spark, sf_dir)
+        is_up = F.col("op").isin("i", "u")
+        is_r = F.col("op") == "r"
+        # 27-digit big integer (beyond int64) from three 9-digit blocks;
+        # leading block in [1e8, 1e9) so the digit count is stable
+        big_str = F.expr(
+            "concat(cast((event_id*31+7) % 900000000 + 100000000 as string),"
+            " lpad(cast((event_id*17+3) % 1000000000 as string), 9, '0'),"
+            " lpad(cast((event_id*13+5) % 1000000000 as string), 9, '0'))"
+        )
+        small = F.expr("(event_id*7919+11) % 1000000000000")
+
+        def cell(val, set_col, dtype):
+            return F.struct(
+                F.when(set_col, val.cast(dtype)).otherwise(F.lit(None).cast(dtype)).alias("value"),
+                F.lit(None).cast("long").alias("deletion_ts"),
+                set_col.alias("set"),
+            )
+
+        cells = F.when(
+            is_up,
+            F.struct(
+                cell(big_str, F.col("text_set"), t_p).alias("vi_p"),
+                cell(small, F.col("role_set"), t_l).alias("vi_l"),
+                cell(big_str, F.col("text_set"), t_s).alias("vi_s"),
+            ),
+        )
+        bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
+        log = flat.select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "op",
+            "conv_id",
+            F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+            "writetime",
+            cells.alias("cells"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")),
+                    F.col("r_lo"),
+                ),
+            ).alias("range_start"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")),
+                    F.col("r_hi"),
+                ),
+            ).alias("range_end"),
+            F.lit(1).alias("schema_version"),
+            F.lit(False).alias("snapshot"),
+        )
+        st = _state_pipeline(log, ["vi_p", "vi_l", "vi_s"], ("i", "u", "d", "p", "r"))
+        return st.select(
+            "conv_id",
+            "turn_idx",
+            F.col("vi_p").cast("string").alias("vi_precise"),
+            F.col("vi_l").cast("long").alias("vi_long"),
+            F.col("vi_s").alias("vi_string"),
+        )
+
+    q["cdc_types_varint"] = cdc_types_varint
+
     # ======================================================================
     # training-data pipeline operators (documents / embeddings tables)
     # ======================================================================
@@ -1025,6 +1133,10 @@ FROM m GROUP BY 1
     o["cdc_partition_deletes"] = _duck(_oracle_state_sql("iudp"))
     o["cdc_range_tombstones"] = _duck(_oracle_state_sql("iur"))
     o["cdc_full_state"] = _duck(_oracle_state_sql("iudpr"))
+    # batches explode to the flat change stream (writetimes drive LWW, so
+    # the batch packing is invisible in final state) — the oracle IS the
+    # flattened replay
+    o["cdc_batch_mutations"] = _duck(_oracle_state_sql("iudpr"))
     # splitting + re-pairing bound markers must reconstruct the exact
     # paired-log semantics, so the oracle IS the full-state oracle
     o["cdc_unpaired_markers"] = _duck(_oracle_state_sql("iudpr"))
@@ -1155,6 +1267,49 @@ SELECT conv_id, turn_idx,
        dec_s AS dec_string,
        CAST(CAST(dec_s AS DECIMAL(18,4)) * 10000 AS bigint) AS dec_unscaled,
        attrs_s
+FROM fin WHERE live OR anycell
+"""
+    )
+
+    _VI_BIG = (
+        "concat(CAST((event_id*31+7) % 900000000 + 100000000 AS varchar),"
+        " lpad(CAST((event_id*17+3) % 1000000000 AS varchar), 9, '0'),"
+        " lpad(CAST((event_id*13+5) % 1000000000 AS varchar), 9, '0'))"
+    )
+    o["cdc_types_varint"] = _duck(
+        f"""
+, ups AS (
+  SELECT *, {_VI_BIG} AS vi_big,
+         (event_id*7919+11) % 1000000000000 AS vi_small
+  FROM m WHERE op IN ('i','u')
+),
+keys AS (SELECT DISTINCT conv_id, turn_idx FROM ups),
+tomb AS (
+  SELECT k.conv_id, k.turn_idx, max(t.writetime) AS tomb_wt
+  FROM keys k JOIN m t ON t.conv_id = k.conv_id
+   AND ((t.op = 'd' AND t.turn_idx = k.turn_idx)
+     OR (t.op = 'p')
+     OR (t.op = 'r'
+         AND (CASE WHEN t.lo_incl THEN k.turn_idx >= t.r_lo ELSE k.turn_idx > t.r_lo END)
+         AND (CASE WHEN t.hi_incl THEN k.turn_idx <= t.r_hi ELSE k.turn_idx < t.r_hi END)))
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT u.conv_id, u.turn_idx,
+    last(u.vi_big ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS vi_big_s,
+    last(u.vi_small ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.role_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS vi_small_s,
+    bool_or(u.op = 'i' AND u.writetime > coalesce(t.tomb_wt, -1)) AS live,
+    (bool_or(u.text_set AND u.writetime > coalesce(t.tomb_wt, -1))
+     OR bool_or(u.role_set AND u.writetime > coalesce(t.tomb_wt, -1))) AS anycell
+  FROM ups u LEFT JOIN tomb t USING (conv_id, turn_idx)
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx,
+       vi_big_s AS vi_precise,
+       CAST(vi_small_s AS bigint) AS vi_long,
+       vi_big_s AS vi_string
 FROM fin WHERE live OR anycell
 """
     )

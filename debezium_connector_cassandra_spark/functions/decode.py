@@ -164,6 +164,65 @@ def with_envelope(
 
 
 # ---------------------------------------------------------------------------
+# Logged-batch mutations — the reference processes one Mutation's SEVERAL
+# PartitionUpdates under ONE shared OffsetPosition
+# (Cassandra4CommitLogReadHandlerImpl.handleMutation:255-272; scenario
+# BatchTest.java:26-96). Spark formulation: a batch log row carries
+# ``changes: array<struct<...>>`` and explodes into per-change rows BEFORE
+# classification, every change keeping the batch's (segment_id, position) —
+# so the offset checkpoint advances atomically per batch (the position
+# appears once; either all of a batch's changes are applied or none).
+# ---------------------------------------------------------------------------
+
+
+def explode_batch_mutations(log: DataFrame) -> DataFrame:
+    """Batch-shaped log (model.BATCH_LOG_SCHEMA) -> canonical per-change
+    rows (model.MUTATION_LOG_SCHEMA order).
+
+    Every change carries the batch's offset; a member's NULL writetime
+    inherits the batch default (the no-USING-TIMESTAMP case). Pure Catalyst
+    explode — whole-stage codegen, the array never round-trips Python."""
+    extra = [
+        c
+        for c in log.columns
+        if c
+        not in (
+            "segment_id",
+            "position",
+            "log_partition",
+            "writetime",
+            "changes",
+            "schema_version",
+            "snapshot",
+        )
+    ]
+    return log.select(
+        "segment_id",
+        "position",
+        "log_partition",
+        F.col("writetime").alias("_batch_wt"),
+        F.explode("changes").alias("c"),
+        "schema_version",
+        "snapshot",
+        *extra,
+    ).select(
+        "segment_id",
+        "position",
+        "log_partition",
+        F.col("c.op").alias("op"),
+        F.col("c.conv_id").alias("conv_id"),
+        F.col("c.turn_idx").alias("turn_idx"),
+        F.coalesce(F.col("c.writetime"), F.col("_batch_wt")).alias("writetime"),
+        F.col("c.cells").alias("cells"),
+        F.col("c.range_start").alias("range_start"),
+        F.col("c.range_end").alias("range_end"),
+        "schema_version",
+        "snapshot",
+        *extra,
+    )
+
+
+# ---------------------------------------------------------------------------
 # S5 analog — binary payload decode.
 #
 # The generator can serialize `cells` to a compact JSON byte payload (the

@@ -103,6 +103,43 @@ MUTATION_LOG_SCHEMA = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
+# Logged-batch mutations — one Mutation carrying SEVERAL row changes at one
+# commit-log offset (reference: handleMutation iterates
+# mutation.getPartitionUpdates() with ONE shared OffsetPosition,
+# Cassandra4CommitLogReadHandlerImpl.java:255-272; scenario
+# tests/.../BatchTest.java:26-96 — a LOGGED batch of one partition delete +
+# three inserts with explicit per-statement USING TIMESTAMP and TTL).
+#
+# A batch log row carries ``changes: array<BATCH_CHANGE_TYPE>`` at one
+# (segment_id, position); a member's NULL writetime inherits the batch
+# default (the no-USING-TIMESTAMP case — Cassandra stamps the batch's
+# coordinator time).
+# ---------------------------------------------------------------------------
+BATCH_CHANGE_TYPE = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("writetime", T.LongType(), True),  # NULL -> batch default
+        T.StructField("cells", CELLS_TYPE, True),
+        T.StructField("range_start", RANGE_BOUND_TYPE, True),
+        T.StructField("range_end", RANGE_BOUND_TYPE, True),
+    ]
+)
+
+BATCH_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("position", T.LongType(), False),
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("writetime", T.LongType(), False),  # batch default wt
+        T.StructField("changes", T.ArrayType(BATCH_CHANGE_TYPE, False), False),
+        T.StructField("schema_version", T.IntegerType(), False),
+        T.StructField("snapshot", T.BooleanType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
 # Change envelope — reference Record.buildValue (Record.java:80-90):
 # {ts_ms, op, source, after}; key = (conv_id, turn_idx).
 # ---------------------------------------------------------------------------

@@ -14,14 +14,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-EVENT_IDENTITY = ["conv_id", "turn_idx", "segment_id", "position"]
+EVENT_IDENTITY = ["conv_id", "turn_idx", "segment_id", "position", "writetime"]
 
 
 def dedup_events(df: DataFrame) -> DataFrame:
     """Drop exact duplicate deliveries of the same mutation.
 
-    Identity = (key, segment, position): the reference's offset skip-check
-    works at the same grain (one mutation at one commit-log position).
+    Identity = (key, segment, position, writetime): the reference's offset
+    skip-check works at (mutation, commit-log position) grain; writetime
+    joins the identity because a LOGGED BATCH explodes several changes at
+    ONE shared position (handleMutation:255-272) — batch members touching
+    the same key remain distinct by their explicit USING TIMESTAMP, while an
+    exact duplicate delivery (same event, same writetime) still collapses.
     ``dropDuplicates`` is a hash aggregation with map-side partial combine —
     duplicates collapse before the shuffle, so a duplicate-heavy stream does
     not inflate shuffle volume.

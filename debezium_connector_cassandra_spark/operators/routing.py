@@ -62,16 +62,66 @@ def queue_index(
     return F.pmod(hash64(key), F.lit(n_queues)).cast("int")
 
 
+# probe cache: n_queues -> [probe_0 .. probe_{n-1}] where
+# pmod(murmur3(probe_i), n) == i (see _queue_probes)
+_PROBE_CACHE: dict[int, list[int]] = {}
+
+
+def _queue_probes(spark, n_queues: int) -> list[int]:
+    """For each shuffle-partition index i in [0, n): an int probe_i whose
+    Murmur3 hash lands exactly on partition i under HashPartitioning(n).
+
+    ``repartition(n, col)`` places a row at pmod(murmur3(col), n) — hashing
+    the ALREADY-hashed queue index again, which collides queues into shared
+    partitions and leaves others empty (the double-hash). Routing through a
+    probe value inverts that second hash: queue i maps to probe_i, so queue
+    i alone occupies partition i. Probes are found once per n_queues with
+    one tiny Spark job over candidate ints (each index is missed by m
+    candidates with probability (1-1/n)^m — vanishing) and cached."""
+    cached = _PROBE_CACHE.get(n_queues)
+    if cached is not None:
+        return cached
+    span = 64 * n_queues
+    while True:
+        rows = (
+            spark.range(0, span)
+            .select(
+                F.col("id").cast("int").alias("p"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(n_queues)).alias("i"),
+            )
+            .collect()
+        )
+        first: dict[int, int] = {}
+        for r in rows:
+            first.setdefault(r["i"], r["p"])
+        if len(first) == n_queues:
+            probes = [first[i] for i in range(n_queues)]
+            _PROBE_CACHE[n_queues] = probes
+            return probes
+        span *= 4
+
+
 def route_df(
     df: DataFrame,
     mode: str = PARTITION_VALUES,
     n_queues: int = 8,
     key_col: str = "conv_id",
 ) -> DataFrame:
-    """Attach the queue index and co-locate each queue in one shuffle
-    partition (the Spark analog of the reference's ordered queues)."""
+    """Attach the queue index and co-locate each queue in ITS OWN shuffle
+    partition (the Spark analog of the reference's ordered queues): queue i
+    occupies exactly partition i — n non-empty partitions for n occupied
+    queues, not the collided subset a second hash of the queue index would
+    produce."""
     routed = df.withColumn("queue", queue_index(mode, n_queues, key_col=key_col))
-    return routed.repartition(n_queues, "queue")
+    probes = _queue_probes(df.sparkSession, n_queues)
+    probe = F.element_at(
+        F.array(*[F.lit(p).cast("int") for p in probes]), F.col("queue") + 1
+    )
+    return (
+        routed.withColumn("_queue_probe", probe)
+        .repartition(n_queues, "_queue_probe")
+        .drop("_queue_probe")
+    )
 
 
 def routing_stats(

@@ -377,6 +377,62 @@ def gen_multi_table_log(
     return out
 
 
+def pack_batches(log: DataFrame, group_size: int = 4) -> DataFrame:
+    """Producer-side analog of LOGGED batches: pack each run of
+    ``group_size`` consecutive mutations within a segment into ONE atomic
+    multi-change record (model.BATCH_LOG_SCHEMA) at the run's first
+    (segment_id, position) — the commit-log shape the reference sees when a
+    client writes a batch (one Mutation, several PartitionUpdates, one
+    entryLocation: handleMutation:255-272, BatchTest.java:26-96).
+
+    Members keep their explicit writetimes (per-statement USING TIMESTAMP);
+    the batch default writetime is the members' min. Exploding the result
+    therefore replays to exactly the same final state as the flat log
+    (writetimes drive LWW; positions only break ties writetime uniqueness
+    already settles). Window-based — producer-side cold path, one pass."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("segment_id", "log_partition").orderBy("position")
+    batched = log.withColumn(
+        "_b", ((F.row_number().over(w) - 1) / F.lit(group_size)).cast("long")
+    )
+    change = F.struct(
+        F.col("op"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("writetime"),
+        F.col("cells"),
+        F.col("range_start"),
+        F.col("range_end"),
+    )
+    return (
+        batched.groupBy("segment_id", "log_partition", "_b")
+        .agg(
+            F.min("position").alias("position"),
+            F.min("writetime").alias("writetime"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("position").alias("_pos"), change.alias("c"))
+                    )
+                ),
+                lambda x: x["c"],
+            ).alias("changes"),
+            F.min("schema_version").alias("schema_version"),
+            F.max("snapshot").alias("snapshot"),
+        )
+        .select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "writetime",
+            "changes",
+            "schema_version",
+            "snapshot",
+        )
+    )
+
+
 def split_range_markers(log: DataFrame) -> DataFrame:
     """Rewrite paired op='r' rows into UNPAIRED bound-marker rows (the
     commit-log fidelity shape: Cassandra emits start and end markers as

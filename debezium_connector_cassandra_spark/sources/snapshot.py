@@ -78,11 +78,97 @@ def snapshot_to_mutations(
     )
 
 
+class SnapshotMetrics:
+    """The reference's snapshot JMX gauge VALUES
+    (CassandraSnapshotMetrics.java:26-110; lifecycle driven exactly like
+    SnapshotProcessor.java:129-141 setTableCount/startSnapshot/completeTable/
+    stopSnapshot and :268-277 setRowsScanned). The transport (JMX MBean)
+    stays out of scope per SURVEY — these are the values a monitoring stack
+    consumes."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.total_table_count = 0
+        self.remaining_table_count = 0
+        self.snapshot_running = False
+        self.snapshot_completed = False
+        self.snapshot_aborted = False
+        self._start_ms = 0
+        self._completed_ms = 0
+        self._aborted_ms = 0
+        self.rows_scanned: dict[str, int] = {}
+
+    # -- lifecycle (reference method names) ---------------------------------
+    def set_table_count(self, n: int) -> None:
+        self.total_table_count = n
+        self.remaining_table_count = n
+
+    def start_snapshot(self) -> None:
+        import time
+
+        self.snapshot_running = True
+        self.snapshot_completed = False
+        self.snapshot_aborted = False
+        self._start_ms = int(time.time() * 1000)
+
+    def complete_table(self) -> None:
+        self.remaining_table_count = max(0, self.remaining_table_count - 1)
+
+    def set_rows_scanned(self, table: str, n: int) -> None:
+        self.rows_scanned[table] = int(n)
+
+    def stop_snapshot(self) -> None:
+        import time
+
+        self.snapshot_running = False
+        self.snapshot_completed = True
+        self._completed_ms = int(time.time() * 1000)
+
+    def abort_snapshot(self) -> None:
+        import time
+
+        self.snapshot_running = False
+        self.snapshot_aborted = True
+        self._aborted_ms = int(time.time() * 1000)
+
+    def snapshot_duration_seconds(self) -> int:
+        """Mirror of snapshotDurationInSeconds (reference :96-110)."""
+        import time
+
+        if self._start_ms == 0:
+            return 0
+        stop = self._completed_ms
+        if self._aborted_ms > 0:
+            stop = self._aborted_ms
+        if stop <= 0:
+            stop = int(time.time() * 1000)
+        return (stop - self._start_ms) // 1000
+
+    def gauges(self) -> dict:
+        return {
+            "total_table_count": self.total_table_count,
+            "remaining_table_count": self.remaining_table_count,
+            "snapshot_running": self.snapshot_running,
+            "snapshot_completed": self.snapshot_completed,
+            "snapshot_aborted": self.snapshot_aborted,
+            "rows_scanned": dict(self.rows_scanned),
+            "snapshot_duration_seconds": self.snapshot_duration_seconds(),
+        }
+
+
 class SnapshotProcessor:
     """Table-selection + all-or-nothing snapshot offsets (S7)."""
 
     def __init__(self, runner):
         self.runner = runner  # CdcRunner — shares offsets/lineage tables
+        self.metrics = SnapshotMetrics()
+
+    def snapshot_metrics(self) -> dict:
+        """Snapshot-context gauge values — the twin of
+        CdcRunner.streaming_metrics() for the snapshot MBean."""
+        return self.metrics.gauges()
 
     def is_snapshotted(self) -> bool:
         if self.runner.offsets.is_empty():
@@ -115,9 +201,20 @@ class SnapshotProcessor:
         from ..plans.apply import apply_batch  # local import to avoid cycle
 
         if not self.tables_to_snapshot(mode):
+            self.metrics.set_table_count(0)
             return None
-        mutations = snapshot_to_mutations(source, snapshot_writetime)
-        stats = apply_batch(self.runner.target, mutations)
+        # gauge lifecycle mirrors SnapshotProcessor.java:129-141
+        self.metrics.set_table_count(1)
+        self.metrics.start_snapshot()
+        fqtn = "agents.transcripts"
+        try:
+            mutations = snapshot_to_mutations(source, snapshot_writetime)
+            stats = apply_batch(self.runner.target, mutations)
+            self.metrics.set_rows_scanned(fqtn, stats.get("n_events", 0))
+            self.metrics.complete_table()
+        except Exception:
+            self.metrics.abort_snapshot()
+            raise
         import time as _time
 
         self.runner.offsets.append_small(
@@ -130,4 +227,5 @@ class SnapshotProcessor:
                 }
             ]
         )
+        self.metrics.stop_snapshot()
         return stats

@@ -162,6 +162,14 @@ class MultiTableRunner:
         self.metrics = self._bookkeeping("_metrics", METRICS_SCHEMA)
         self.offsets.compaction_transform = _prune_mt_offsets
         self._done = self._load_done()
+        from ..sources.snapshot import SnapshotMetrics
+
+        self.metrics_snapshot = SnapshotMetrics()
+
+    def snapshot_metrics(self) -> dict:
+        """Snapshot-context gauge values (CassandraSnapshotMetrics.java:26-110)
+        — tables captured/remaining, per-table rows scanned, duration."""
+        return self.metrics_snapshot.gauges()
 
     def _ensure_target(self, fqtn: str, spec: TableSpec) -> None:
         path = f"{self.target_root}/{fqtn}"
@@ -455,21 +463,153 @@ class MultiTableRunner:
 
         out = {}
         now_ms = int(time.time() * 1000)
-        for fqtn in self.tables_to_snapshot():
-            if fqtn not in sources:
+        todo = [f for f in self.tables_to_snapshot() if f in sources]
+        # gauge lifecycle mirrors SnapshotProcessor.java:129-141 (+ per-table
+        # rowsScanned :268-277)
+        self.metrics_snapshot.set_table_count(len(todo))
+        if todo:
+            self.metrics_snapshot.start_snapshot()
+        try:
+            for fqtn in todo:
+                src = self.specs[fqtn].normalize(sources[fqtn])
+                mutations = snapshot_to_mutations(src, snapshot_writetime)
+                out[fqtn] = apply_batch(self.targets[fqtn], mutations)
+                self.metrics_snapshot.set_rows_scanned(
+                    fqtn, out[fqtn].get("n_events", 0)
+                )
+                self.metrics_snapshot.complete_table()
+                self.offsets.append_small(
+                    [
+                        {
+                            "fqtn": fqtn,
+                            "log_partition": -1,
+                            "segment_id": -1,
+                            "position": -1,
+                            "updated_at": now_ms,
+                        }
+                    ]
+                )
+        except Exception:
+            self.metrics_snapshot.abort_snapshot()
+            raise
+        if todo:
+            self.metrics_snapshot.stop_snapshot()
+        return out
+
+
+class MultiTableStream:
+    """Structured-Streaming front-end over a MULTI-TABLE commit log — the
+    reference's primary operating shape (streaming AND multi-table at once:
+    one CommitLogProcessor thread feeding per-table decode via SchemaHolder,
+    MultipleTablesProcessingTest.java:27-106). The multi-table twin of
+    stream.CdcStream: readStream over the shared log directory, and inside
+    each foreachBatch a per-table filter + decode + apply, with PER-TABLE
+    offsets and ``streamed`` lineage.
+
+    Same ordering contract as CdcStream (see its module docstring): the file
+    source delivers arbitrary file subsets per micro-batch, so no watermark
+    pre-filter (re-applying is an idempotent no-op; filtering loses late
+    files), and lineage is ``streamed`` — never ``done`` — because a
+    micro-batch cannot prove segment completeness. The batch front-end
+    treats ``streamed`` segments as pending and re-applies them in full when
+    the job switches front-ends (bounded, idempotent).
+
+    Table lifecycle DDL (table_changes) is a batch-front-end feature: the
+    create/drop ledger needs the discovered segment range, which a streaming
+    micro-batch does not see — a runner configured with table_changes is
+    refused here.
+    """
+
+    def __init__(self, runner: MultiTableRunner, max_files_per_trigger: int | None = None):
+        if runner.table_changes:
+            raise ValueError(
+                "table_changes (create/drop DDL ledger) requires the batch "
+                "front-end — a streaming micro-batch cannot see the "
+                "discovered segment range; use MultiTableRunner.run()"
+            )
+        self.runner = runner
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _source(self) -> DataFrame:
+        reader = self.runner.spark.readStream.schema(MULTI_TABLE_LOG_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        return reader.parquet(self.runner.log_path)
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        r = self.runner
+        seg_rows = (
+            batch_df.groupBy("keyspace", "table", "segment_id", "log_partition")
+            .agg(F.count("*").alias("n"), F.max("position").alias("max_pos"))
+            .collect()
+        )
+        if not seg_rows:
+            return
+        now_ms = int(_time.time() * 1000)
+        by_table: dict[str, list] = {}
+        for row in seg_rows:
+            by_table.setdefault(f"{row['keyspace']}.{row['table']}", []).append(row)
+        for fqtn, spec in r.specs.items():
+            rows = by_table.get(fqtn)
+            if not rows:
                 continue
-            src = self.specs[fqtn].normalize(sources[fqtn])
-            mutations = snapshot_to_mutations(src, snapshot_writetime)
-            out[fqtn] = apply_batch(self.targets[fqtn], mutations)
-            self.offsets.append_small(
+            sub = batch_df.where(
+                (F.col("keyspace") == spec.keyspace)
+                & (F.col("table") == spec.table)
+            )
+            if r.payload_format == "binary":
+                from ..functions.binary_codec import decode_table_payload_binary
+
+                sub = decode_table_payload_binary(sub, spec)
+            else:
+                sub = decode_table_payload(sub, spec)
+            apply_batch(r.targets[fqtn], sub)
+            best: dict[int, tuple[int, int]] = {}
+            for row in rows:
+                cand = (row["segment_id"], row["max_pos"])
+                if best.get(row["log_partition"], (-2, -2)) < cand:
+                    best[row["log_partition"]] = cand
+            r.offsets.append_small(
                 [
                     {
                         "fqtn": fqtn,
-                        "log_partition": -1,
-                        "segment_id": -1,
-                        "position": -1,
+                        "log_partition": lp,
+                        "segment_id": seg,
+                        "position": pos,
                         "updated_at": now_ms,
                     }
+                    for lp, (seg, pos) in sorted(best.items())
                 ]
             )
-        return out
+            r.lineage.append_small(
+                [
+                    {
+                        "fqtn": fqtn,
+                        "segment_id": row["segment_id"],
+                        "log_partition": row["log_partition"],
+                        "status": "streamed",
+                        "n_events": row["n"],
+                    }
+                    for row in rows
+                ]
+            )
+
+    def start(self, checkpoint_dir: str, available_now: bool = True):
+        writer = (
+            self._source()
+            .writeStream.foreachBatch(self._handle_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_available(self, checkpoint_dir: str, timeout_sec: int = 600) -> None:
+        """Drain all currently-available segments and stop — the streaming
+        twin of MultiTableRunner.run()."""
+        q = self.start(checkpoint_dir, available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()

@@ -86,6 +86,7 @@ class CdcRunner:
         commit_log_transfer=None,
         routing_mode: str | None = None,
         n_queues: int = 8,
+        batch_mutations: bool = False,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -93,6 +94,10 @@ class CdcRunner:
         self.segments_per_batch = segments_per_batch
         self.excluded_fields = excluded_fields
         self.schema_changes = list(schema_changes)
+        # logged-batch mode: the log carries atomic multi-change records
+        # (changes: array<...> at one offset — handleMutation:255-272);
+        # run_batch explodes them before classification
+        self.batch_mutations = batch_mutations
         self.log_schema = self._resolve_log_schema(log_schema)
         self.decode_binary = decode_binary
         if payload_format not in ("json", "binary"):
@@ -156,17 +161,18 @@ class CdcRunner:
         so classify-and-skip cannot be bypassed by a forgotten config."""
         if log_schema is not None:
             return log_schema
+        from pyspark.sql import types as T
+
+        from ..model import BATCH_LOG_SCHEMA, MUTATION_LOG_SCHEMA
+
+        base = BATCH_LOG_SCHEMA if self.batch_mutations else None
         try:
             on_disk = {f.name for f in self.spark.read.parquet(self.log_path).schema.fields}
         except Exception:
-            return None  # log not written yet — canonical schema
+            return base  # log not written yet — canonical schema
         if "table_kind" not in on_disk:
-            return None
+            return base
         import warnings
-
-        from pyspark.sql import types as T
-
-        from ..model import MUTATION_LOG_SCHEMA
 
         warnings.warn(
             "mutation log carries a 'table_kind' column not in the configured "
@@ -175,7 +181,7 @@ class CdcRunner:
             stacklevel=3,
         )
         return T.StructType(
-            list(MUTATION_LOG_SCHEMA.fields)
+            list((BATCH_LOG_SCHEMA if self.batch_mutations else MUTATION_LOG_SCHEMA).fields)
             + [T.StructField("table_kind", T.StringType(), True)]
         )
 
@@ -291,6 +297,13 @@ class CdcRunner:
             log = log.where(
                 (F.col("segment_id") < last) | (F.col("position") <= position_limit)
             )
+        if self.batch_mutations:
+            # explode BEFORE classification so every change of a batch shares
+            # its offset and (default) writetime; the offset checkpoint then
+            # advances atomically per batch (handleMutation:255-272)
+            from ..functions.decode import explode_batch_mutations
+
+            log = explode_batch_mutations(log)
 
         # D3 full form: mutations against COUNTER / MATERIALIZED_VIEW /
         # SECONDARY_INDEX tables are counted-and-skipped (PartitionType
@@ -446,6 +459,10 @@ class CdcRunner:
                 full = read_mutation_log(
                     self.spark, self.log_path, schema=self.log_schema
                 ).where(F.col("segment_id").isin(*[int(s) for s in done_now]))
+                if self.batch_mutations:
+                    from ..functions.decode import explode_batch_mutations
+
+                    full = explode_batch_mutations(full)
                 if "table_kind" in full.columns:
                     # skipped partition types emit no change events either
                     from ..functions.decode import split_unsupported

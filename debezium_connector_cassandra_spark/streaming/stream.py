@@ -66,6 +66,8 @@ class CdcStream:
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         df = reader.parquet(self.runner.log_path)
+        if getattr(self.runner, "batch_mutations", False):
+            return df  # cells travel inside the changes array
         if "cells" not in df.columns and not self.runner.decode_binary:
             raise ValueError(
                 "streaming source schema has no 'cells' column and decode_binary "
@@ -81,6 +83,12 @@ class CdcStream:
         # the table state exactly-once.
         # offsets/lineage stats over the RAW batch (skipped unsupported rows
         # still advance offsets, matching the batch front-end's pre-scan)
+        if getattr(self.runner, "batch_mutations", False):
+            # logged batches explode before everything else, exactly like the
+            # batch front-end (shared offset per batch — handleMutation:255-272)
+            from ..functions.decode import explode_batch_mutations
+
+            batch_df = explode_batch_mutations(batch_df)
         seg_rows = (
             batch_df.groupBy("segment_id", "log_partition")
             .agg(F.count("*").alias("n"), F.max("position").alias("max_pos"))

@@ -130,6 +130,28 @@ def test_routing_modes_contract(spark, log):
         assert st.agg(F.sum("n_events")).collect()[0][0] == log.count()
 
 
+def test_route_df_one_partition_per_queue(spark, log):
+    """route_df must place queue i alone in shuffle partition i (the
+    reference's one-ordered-queue-per-worker contract): a second hash of the
+    queue index would collide queues into shared partitions and leave others
+    empty. Over a covering key set, n queues -> n distinct non-empty
+    partitions with an identity queue->partition mapping."""
+    from debezium_connector_cassandra_spark.operators.routing import route_df
+
+    for mode in (PARTITION_VALUES, COMMITLOG_FILE):
+        routed = route_df(log, mode, n_queues=4)
+        rows = (
+            routed.withColumn("pid", F.spark_partition_id())
+            .groupBy("queue")
+            .agg(F.collect_set("pid").alias("pids"))
+            .collect()
+        )
+        occupied = {r["queue"] for r in rows}
+        assert len(occupied) >= 2  # covering key set exercises several queues
+        for r in rows:
+            assert r["pids"] == [r["queue"]], (mode, r)
+
+
 def test_routing_mode_state_invariant(spark, log, tmp_path):
     """Either routing mode (and none) produces the identical final state —
     the LWW reduction is order-insensitive, as in the reference where the

@@ -168,6 +168,77 @@ def test_snapshot_table_selection_anti_join(spark, mt_log, tmp_path):
     assert len(boot) >= 1
 
 
+def test_mt_snapshot_metrics_gauges(spark, mt_log, tmp_path):
+    """Multi-table snapshot gauges: per-table rowsScanned map + table
+    counts across the anti-join-selected set
+    (CassandraSnapshotMetrics.java:26-110, setRowsScanned :268-277)."""
+    runner = MultiTableRunner(
+        spark, mt_log, str(tmp_path / "tgt"), SPECS, segments_per_batch=8
+    )
+    src = spark.createDataFrame(
+        [("s_1", 0, "boot", 1), ("s_2", 1, "boot", 2)],
+        "session_id string, seq int, kind string, score int",
+    )
+    runner.snapshot({"ks1.events": src}, snapshot_writetime=1)
+    g = runner.snapshot_metrics()
+    assert g["total_table_count"] == 1 and g["remaining_table_count"] == 0
+    assert g["rows_scanned"] == {"ks1.events": 2}
+    assert g["snapshot_completed"] is True and g["snapshot_aborted"] is False
+
+
+def test_multi_table_streaming_parity(spark, mt_log, tmp_path):
+    """The streaming front-end (MultiTableStream) drains the same multi-table
+    log to the identical per-table state as the batch MultiTableRunner —
+    the reference's primary operating shape (streaming AND multi-table at
+    once, MultipleTablesProcessingTest.java:27-106)."""
+    from debezium_connector_cassandra_spark.streaming.multi_table import (
+        MultiTableStream,
+    )
+
+    r_batch = MultiTableRunner(
+        spark, mt_log, str(tmp_path / "tb"), SPECS, segments_per_batch=8
+    )
+    r_batch.run()
+
+    r_stream = MultiTableRunner(spark, mt_log, str(tmp_path / "ts"), SPECS)
+    MultiTableStream(r_stream, max_files_per_trigger=3).run_available(
+        str(tmp_path / "ckpt")
+    )
+    for spec in SPECS:
+        a = sorted(
+            tuple(r) for r in r_stream.targets[spec.fqtn].read_transcripts().collect()
+        )
+        b = sorted(
+            tuple(r) for r in r_batch.targets[spec.fqtn].read_transcripts().collect()
+        )
+        assert a == b, spec.fqtn
+    # per-table 'streamed' lineage landed for every table with events
+    lin = r_stream.lineage.read().where(F.col("status") == "streamed")
+    assert {r["fqtn"] for r in lin.select("fqtn").distinct().collect()} == {
+        s.fqtn for s in SPECS
+    }
+    # per-table offsets advanced to the shared log's per-partition max
+    marks = r_stream.checkpointed_offsets()
+    want = {
+        r["log_partition"]: (r["segment_id"], r["position"])
+        for r in spark.read.parquet(mt_log)
+        .groupBy("log_partition")
+        .agg(F.max(F.struct("segment_id", "position")).alias("w"))
+        .select("log_partition", "w.segment_id", "w.position")
+        .collect()
+    }
+    for spec in SPECS:
+        for lp, wm in want.items():
+            assert marks[(spec.fqtn, lp)] <= wm
+    # a table_changes-configured runner is refused (batch-only feature)
+    r_ddl = MultiTableRunner(
+        spark, mt_log, str(tmp_path / "td"), SPECS,
+        table_changes=((99, "drop", "ks2.notes"),),
+    )
+    with pytest.raises(ValueError, match="table_changes"):
+        MultiTableStream(r_ddl)
+
+
 def test_multi_table_changes_export(spark, mt_log, tmp_path):
     runner = MultiTableRunner(
         spark, mt_log, str(tmp_path / "tgt"), SPECS, segments_per_batch=8,

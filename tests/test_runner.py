@@ -146,6 +146,31 @@ def test_snapshot_bootstrap_then_stream(spark, log_dir, tmp_path):
     )
 
 
+def test_snapshot_metrics_gauges(spark, log_dir, tmp_path):
+    """The snapshot-context gauge twin of streaming_metrics()
+    (CassandraSnapshotMetrics.java:26-110): table counts, rows scanned,
+    running/completed flags, duration."""
+    path, _ = log_dir
+    runner = CdcRunner(spark, path, str(tmp_path / "t"), n_buckets=4)
+    snap = SnapshotProcessor(runner)
+    g0 = snap.snapshot_metrics()
+    assert g0["snapshot_running"] is False and g0["snapshot_completed"] is False
+    pre = spark.createDataFrame(
+        [Row(conv_id="p", turn_idx=0, role="user", text="x", tool=None, ts=None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    snap.take(pre, snapshot_writetime=1, mode=SnapshotMode.INITIAL)
+    g = snap.snapshot_metrics()
+    assert g["snapshot_completed"] is True and g["snapshot_running"] is False
+    assert g["snapshot_aborted"] is False
+    assert g["total_table_count"] == 1 and g["remaining_table_count"] == 0
+    assert g["rows_scanned"] == {"agents.transcripts": 1}
+    assert g["snapshot_duration_seconds"] >= 0
+    # INITIAL no-op take resets the table count to zero tables-to-snapshot
+    snap.take(pre, snapshot_writetime=1, mode=SnapshotMode.INITIAL)
+    assert snap.snapshot_metrics()["total_table_count"] == 0
+
+
 def test_snapshot_empty_table(spark, log_dir, tmp_path):
     path, _ = log_dir
     runner = CdcRunner(spark, path, str(tmp_path / "t"), n_buckets=4)
