@@ -839,6 +839,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_types_varint"] = cdc_types_varint
 
+    # --- D7 expiring cells (TTL) through the streamed log path -------------
+    # deletion_ts = writetime + ttl (populateRegularColumns:575-588 — the
+    # streamed twin of the snapshot TTL math calculateDeletionTs:342-344);
+    # state materialized AS OF the log's max writetime: cells past their
+    # horizon hold neither value nor row visibility, so rows whose only
+    # content expired VANISH exactly past the horizon.
+    def cdc_ttl_expiry(spark, sf_dir):
+        flat = _flat_log(spark, sf_dir)
+        is_up = F.col("op").isin("i", "u")
+        is_r = F.col("op") == "r"
+        ttl_us = F.expr("((event_id*47) % 60) * 86400000000")  # 0..59 days
+        has_ttl = F.expr("(event_id*43) % 3 = 0")
+        text_del = F.when(
+            has_ttl & F.col("text_set"), F.col("writetime") + ttl_us
+        ).otherwise(F.lit(None).cast("long"))
+
+        cells = F.when(
+            is_up,
+            F.struct(
+                F.struct(
+                    F.when(F.col("role_set"), F.col("role_val")).alias("value"),
+                    F.lit(None).cast("long").alias("deletion_ts"),
+                    F.col("role_set").alias("set"),
+                ).alias("role"),
+                F.struct(
+                    # an expiring cell carries its LIVE value + future horizon
+                    F.when(F.col("text_set"), F.col("text_val")).alias("value"),
+                    text_del.alias("deletion_ts"),
+                    F.col("text_set").alias("set"),
+                ).alias("text"),
+            ),
+        )
+        bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
+        log = flat.select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "op",
+            "conv_id",
+            F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+            "writetime",
+            cells.alias("cells"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")),
+                    F.col("r_lo"),
+                ),
+            ).alias("range_start"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")),
+                    F.col("r_hi"),
+                ),
+            ).alias("range_end"),
+            F.lit(1).alias("schema_version"),
+            F.lit(False).alias("snapshot"),
+        )
+        as_of = flat.agg(F.max("writetime")).collect()[0][0]
+        tombs = extract_tombstones(log)
+        tombs.row = None  # 'd' folds into the key reduction
+        reduced = tomb_wt_for_keys(reduce_events(log), tombs)
+        state = drop_invisible(finalize_state(reduced, as_of_us=as_of))
+        return state.select("conv_id", "turn_idx", "role", "text")
+
+    q["cdc_ttl_expiry"] = cdc_ttl_expiry
+
     # ======================================================================
     # training-data pipeline operators (documents / embeddings tables)
     # ======================================================================
@@ -1311,6 +1379,47 @@ SELECT conv_id, turn_idx,
        CAST(vi_small_s AS bigint) AS vi_long,
        vi_big_s AS vi_string
 FROM fin WHERE live OR anycell
+"""
+    )
+
+    o["cdc_ttl_expiry"] = _duck(
+        """
+, ups AS (
+  SELECT *, CASE WHEN (event_id*43) % 3 = 0 AND text_set
+             THEN writetime + ((event_id*47) % 60) * 86400000000 END AS text_del
+  FROM m WHERE op IN ('i','u')
+),
+mw AS (SELECT max(writetime) AS as_of FROM m),
+keys AS (SELECT DISTINCT conv_id, turn_idx FROM ups),
+tomb AS (
+  SELECT k.conv_id, k.turn_idx, max(t.writetime) AS tomb_wt
+  FROM keys k JOIN m t ON t.conv_id = k.conv_id
+   AND ((t.op = 'd' AND t.turn_idx = k.turn_idx)
+     OR (t.op = 'p')
+     OR (t.op = 'r'
+         AND (CASE WHEN t.lo_incl THEN k.turn_idx >= t.r_lo ELSE k.turn_idx > t.r_lo END)
+         AND (CASE WHEN t.hi_incl THEN k.turn_idx <= t.r_hi ELSE k.turn_idx < t.r_hi END)))
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT u.conv_id, u.turn_idx,
+    last(u.role_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.role_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS role_v,
+    bool_or(u.role_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS role_c,
+    last(u.text_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS text_v,
+    last(u.text_del ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS text_d,
+    bool_or(u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS text_c,
+    bool_or(u.op = 'i' AND u.writetime > coalesce(t.tomb_wt, -1)) AS live
+  FROM ups u LEFT JOIN tomb t USING (conv_id, turn_idx)
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx,
+  CASE WHEN role_c THEN role_v END AS role,
+  CASE WHEN text_c AND (text_d IS NULL OR text_d > as_of) THEN text_v END AS text
+FROM fin, mw
+WHERE live OR role_c OR (text_c AND (text_d IS NULL OR text_d > as_of))
 """
     )
 

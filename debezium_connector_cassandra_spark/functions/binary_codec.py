@@ -86,27 +86,131 @@ def _encode_cells_py(cells) -> bytes | None:
     return head + b"".join(strs)
 
 
+# packed (no alignment padding) header layout — itemsize must equal _FIXED
+_HEADER_DTYPE = np.dtype(
+    [
+        ("set", "u1"),
+        ("null", "u1"),
+        ("del", "u1"),
+        ("dels", "<i8", 4),
+        ("ts", "<i8"),
+        ("lens", "<u4", 3),
+    ]
+)
+assert _HEADER_DTYPE.itemsize == _FIXED
+
+
+def _scatter_segments(buf: np.ndarray, pos: np.ndarray, lens: np.ndarray, src: np.ndarray) -> None:
+    """Reverse of _segment_gather: write contiguous src segments to
+    buf[pos[i] : pos[i]+lens[i]] — vectorized (repeat + arange)."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    ends = np.cumsum(lens)
+    starts_src = ends - lens
+    idx = np.repeat(pos - starts_src, lens) + np.arange(total, dtype=np.int64)
+    buf[idx] = src
+
+
 def encode_payload_binary(df: DataFrame) -> DataFrame:
-    """cells -> binary payload (producer analog). Cold path — per-row pack
-    inside an Arrow batch; the generator runs it once per log build."""
-    from pyspark.sql.functions import pandas_udf
+    """cells -> binary payload (producer analog), numpy-packed per Arrow
+    batch: the fixed 55-byte headers materialize as ONE structured-dtype
+    array view (bitmaps / deletion stamps / ts / lengths are all fixed-width
+    arithmetic) and string tails scatter with the decoder's gather trick in
+    reverse — no per-row Python pack loop. The cells struct is flattened to
+    primitive columns JVM-side first so the UDF sees numpy-native Series,
+    and the payload bytes come back as one Arrow BinaryArray over the shared
+    output buffer."""
+    passthrough = [f for f in df.schema.fields if f.name != "cells"]
+    pass_names = [f.name for f in passthrough]
+    out_schema = T.StructType(
+        passthrough + [T.StructField("payload", T.BinaryType(), True)]
+    )
+    flat_cols = {"_has_cells": F.col("cells").isNotNull()}
+    for name in _ALL_COLS:
+        c = F.col("cells")[name]
+        flat_cols[f"_{name}_value"] = c["value"]
+        # nullable int64 degrades to float64 across Arrow->pandas (silent
+        # precision loss past 2^53) — ship a non-null value + presence flag
+        flat_cols[f"_{name}_del"] = F.coalesce(c["deletion_ts"], F.lit(0).cast("long"))
+        flat_cols[f"_{name}_hasdel"] = c["deletion_ts"].isNotNull()
+        flat_cols[f"_{name}_set"] = F.coalesce(c["set"], F.lit(False))
+    flat = df.select(*pass_names, *[v.alias(k) for k, v in flat_cols.items()])
 
-    @pandas_udf(T.BinaryType())
-    def _enc(cells: pd.DataFrame) -> pd.Series:
-        # a struct column arrives as a DataFrame of its fields; a NULL cells
-        # struct arrives as an all-None row -> NULL payload (tombstone ops)
-        cols = {n: cells[n] for n in _ALL_COLS}
-        out = []
-        for i in range(len(cells)):
-            row = {n: cols[n].iloc[i] for n in _ALL_COLS}
-            out.append(
-                None
-                if all(v is None for v in row.values())
-                else _encode_cells_py(row)
-            )
-        return pd.Series(out)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
 
-    return df.withColumn("payload", _enc(F.col("cells"))).drop("cells")
+        for pdf in batches:
+            n = len(pdf)
+            present = pdf["_has_cells"].to_numpy(dtype=bool)
+            m = int(present.sum())
+            head = np.zeros(m, dtype=_HEADER_DTYPE)
+            str_bufs: list[np.ndarray] = []
+            str_lens: list[np.ndarray] = []
+            for i, name in enumerate(_ALL_COLS):
+                bit = np.uint8(1 << i)
+                is_set = pdf[f"_{name}_set"].to_numpy(dtype=bool)[present]
+                has_del = pdf[f"_{name}_hasdel"].to_numpy(dtype=bool)[present]
+                head["del"] |= np.where(has_del, bit, 0).astype(np.uint8)
+                head["dels"][:, i] = pdf[f"_{name}_del"].to_numpy(dtype=np.int64)[present]
+                head["set"] |= np.where(is_set, bit, 0).astype(np.uint8)
+                vals = pdf[f"_{name}_value"][present]
+                if name == "ts":
+                    ns = vals.to_numpy(dtype="datetime64[ns]")
+                    is_null = is_set & pd.isna(ns)
+                    head["ts"] = np.where(
+                        pd.isna(ns), 0, ns.view(np.int64) // 1000
+                    )
+                else:
+                    enc = vals.map(
+                        lambda v: None if v is None else str(v).encode("utf-8")
+                    )
+                    is_null = is_set & enc.isna().to_numpy()
+                    lens = np.fromiter(
+                        (0 if b is None else len(b) for b in enc),
+                        dtype=np.int64,
+                        count=m,
+                    )
+                    # unset cells write no tail and a zero length
+                    lens = np.where(is_set & ~is_null, lens, 0)
+                    head["lens"][:, i] = lens.astype(np.uint32)
+                    joined = b"".join(
+                        b for b, keep in zip(enc, is_set & ~is_null) if keep and b is not None
+                    )
+                    str_bufs.append(np.frombuffer(joined, dtype=np.uint8))
+                    str_lens.append(lens)
+                head["null"] |= np.where(is_null, bit, 0).astype(np.uint8)
+            tail_lens = sum(str_lens) if str_lens else np.zeros(m, dtype=np.int64)
+            rec_lens = _FIXED + tail_lens
+            ends = np.cumsum(rec_lens)
+            out_starts = (ends - rec_lens).astype(np.int64)
+            buf = np.empty(int(ends[-1]) if m else 0, dtype=np.uint8)
+            # headers: one scatter of the structured view
+            hidx = (out_starts[:, None] + np.arange(_FIXED)[None, :]).ravel()
+            buf[hidx] = head.view(np.uint8)
+            # string tails: per column, positions advance past prior columns
+            pos = out_starts + _FIXED
+            for src, lens in zip(str_bufs, str_lens):
+                _scatter_segments(buf, pos, lens, src)
+                pos = pos + lens
+            offsets = np.concatenate([[0], ends]) if m else np.zeros(1, dtype=np.int64)
+            if m and int(offsets[-1]) > _INT32_MAX:
+                arr = pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(), m,
+                    [None, pa.py_buffer(offsets.astype(np.int64)), pa.py_buffer(buf)],
+                )
+            else:
+                arr = pa.BinaryArray.from_buffers(
+                    pa.binary(), m,
+                    [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(buf)],
+                )
+            payload = np.full(n, None, dtype=object)
+            payload[np.flatnonzero(present)] = arr.to_numpy(zero_copy_only=False)
+            cols = {c: pdf[c] for c in pass_names}
+            cols["payload"] = payload
+            yield pd.DataFrame(cols)
+
+    return flat.mapInPandas(run, out_schema)
 
 
 # ---------------------------------------------------------------------------

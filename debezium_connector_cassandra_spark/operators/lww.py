@@ -160,7 +160,7 @@ def reduce_events_salted(batch: DataFrame, salt_buckets: int = 16) -> DataFrame:
     return partial.groupBy("conv_id", "turn_idx").agg(*final_aggs)
 
 
-def finalize_state(reduced_with_tomb: DataFrame) -> DataFrame:
+def finalize_state(reduced_with_tomb: DataFrame, as_of_us: int | None = None) -> DataFrame:
     """Turn a reduced relation into STATE-shaped rows + kill metadata.
 
     The effective tombstone writetime per key is
@@ -171,6 +171,20 @@ def finalize_state(reduced_with_tomb: DataFrame) -> DataFrame:
     Survival rule: writetime strictly greater than the tombstone writetime
     (delete wins ties). A surviving cell with deletion_ts is a null
     assignment whose writetime is retained.
+
+    ``as_of_us`` — the D7 expiring-cell rule (TTL: deletion_ts = writetime +
+    ttl, reference populateRegularColumns:575-588 + the snapshot TTL math
+    calculateDeletionTs:342-344) for ONE-PASS materialization as of a point
+    in time: a cell with deletion_ts > as_of has not reached its TTL horizon
+    and keeps its VALUE; a cell with deletion_ts <= as_of is expired — like
+    Cassandra's purged expired cell it holds neither value nor row
+    visibility, so a row whose only content expired vanishes exactly past
+    its horizon (within-pass shadowing of older writes still holds because
+    the reduction kept only the winning cell). The default ``None``
+    preserves the incremental-merge semantics: any deletion_ts is an
+    explicit null assignment at the event writetime whose writetime is
+    retained for cross-batch LWW dominance — the right call for the lake
+    path, whose persisted state carries flat ``_wt_*`` longs only.
 
     Output KEEPS invisible kill-carrier rows (keys whose batch content is
     only deletes) with ``_kill_wt`` set — merge_states uses them to kill
@@ -186,9 +200,17 @@ def finalize_state(reduced_with_tomb: DataFrame) -> DataFrame:
     for c in payload:
         w = F.col(f"_w_{c}")
         alive = w.isNotNull() & (w["wt"] > tomb)
-        cols.append(F.when(alive & w["deletion_ts"].isNull(), w["value"]).alias(c))
-        wts.append(F.when(alive, w["wt"]).alias(f"_wt_{c}"))
-        alive_any = alive_any | alive
+        if as_of_us is None:
+            value_live = w["deletion_ts"].isNull()
+            counts = alive  # null assignment keeps the row visible (merge mode)
+        else:
+            value_live = w["deletion_ts"].isNull() | (
+                w["deletion_ts"] > F.lit(int(as_of_us))
+            )
+            counts = alive & value_live  # expired cell holds nothing
+        cols.append(F.when(alive & value_live, w["value"]).alias(c))
+        wts.append(F.when(alive if as_of_us is None else counts, w["wt"]).alias(f"_wt_{c}"))
+        alive_any = alive_any | counts
     live_wt = F.when(F.col("_live_wt") > tomb, F.col("_live_wt"))
     kill_wt = F.when(tomb > F.lit(NEG_INF), tomb)
     out = reduced_with_tomb.select(

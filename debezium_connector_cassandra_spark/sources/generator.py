@@ -48,6 +48,7 @@ def gen_mutation_log(
     schema_v2_from_event: int | None = None,
     wt_jitter_events: int = 500,
     num_partitions: int | None = None,
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Build the mutation-log DataFrame (schema = model.MUTATION_LOG_SCHEMA).
 
@@ -57,6 +58,10 @@ def gen_mutation_log(
     to exercise the offset dedup filter (reference handleMutation:259-263).
     ``wt_jitter_events`` controls how far writetimes can invert relative to log
     order, creating genuine LWW conflicts across segments.
+    ``ttl_seconds`` turns the deletion-bearing tool cells into EXPIRING cells
+    (deletion_ts = writetime + ttl — the D7 TTL rule, reference
+    populateRegularColumns:575-588) instead of immediate cell tombstones
+    (deletion_ts = writetime, the default).
     """
     wi, wu, wd, wp, wr = op_weights
     total_w = wi + wu + wd + wp + wr
@@ -129,16 +134,23 @@ def gen_mutation_log(
     # deletion_ts acts as a null assignment at the event writetime.
     tool_del = tool_set & (_u("ttl", seed, 20, gid) == 0)
 
+    del_at = writetime + F.lit(int(ttl_seconds) * 1_000_000) if ttl_seconds else writetime
+
     def cell(set_col, value_col, del_col=None):
         del_ts = (
-            F.when(del_col, writetime).otherwise(F.lit(None).cast("long"))
+            F.when(del_col, del_at).otherwise(F.lit(None).cast("long"))
             if del_col is not None
             else F.lit(None).cast("long")
         )
+        # an EXPIRING cell (ttl mode) carries its live value alongside the
+        # future deletion_ts; an immediate cell tombstone carries none
+        keep_value = (
+            set_col
+            if ttl_seconds
+            else set_col & (del_ts.isNull() if del_col is not None else F.lit(True))
+        )
         return F.struct(
-            F.when(set_col & (del_ts.isNull() if del_col is not None else F.lit(True)), value_col)
-            .otherwise(F.lit(None))
-            .alias("value"),
+            F.when(keep_value, value_col).otherwise(F.lit(None)).alias("value"),
             del_ts.alias("deletion_ts"),
             F.coalesce(set_col, F.lit(False)).alias("set"),
         )

@@ -52,6 +52,23 @@ def test_binary_roundtrip_bit_exact(spark, log):
         _sorted_rows(orig.select("segment_id", "position", "cells"))
 
 
+def test_vectorized_encoder_byte_parity_with_scalar_pack(spark, log):
+    """The numpy-packed encoder emits BYTE-IDENTICAL payloads to the scalar
+    reference packer (_encode_cells_py) — not just decode-equivalent."""
+    from debezium_connector_cassandra_spark.functions.binary_codec import (
+        _encode_cells_py,
+    )
+
+    sub = log.limit(400)
+    got = {
+        (r["segment_id"], r["position"]): r["payload"]
+        for r in encode_payload_binary(sub).select("segment_id", "position", "payload").collect()
+    }
+    for r in sub.select("segment_id", "position", "cells").collect():
+        want = _encode_cells_py(r["cells"].asDict(recursive=True)) if r["cells"] is not None else None
+        assert got[(r["segment_id"], r["position"])] == want
+
+
 def test_binary_matches_json_twin(spark, log):
     jm = decode_payload_jvm(encode_payload(log))
     bn = decode_payload_binary(encode_payload_binary(log))

@@ -1,0 +1,102 @@
+"""Plan-shape regression pins for the flagship queries.
+
+BENCH/plans_r*.md is a manual audit artifact; these assertions make its
+invariants executable so a plan regression (a cartesian creeping into a
+band join, a Window/Sort landing on the corpus side of the IVF argmin, the
+LWW pick degrading) fails CI instead of waiting for the next manual audit.
+
+Counts are asserted as BOUNDS, not exact values — Spark/AQE version drift
+may legally reshuffle operator counts, but the scale-killers (cartesian
+products, corpus-side sorts) are never legal.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as em
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df) -> str:
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _count(plan: str, op: str) -> int:
+    # formatted explain shows each operator instance once as a numbered
+    # detail header "(N) Op" (the tree section repeats names — don't count it)
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return em.queries()
+
+
+def test_no_cartesian_anywhere(spark, queries):
+    """The blanket invariant: NO query plan may contain a CartesianProduct.
+    (BroadcastNestedLoopJoin is allowed only where a tiny broadcast side is
+    the design — IVF centroid scoring, top-k query sides.)"""
+    for name in (
+        "cdc_full_state",
+        "cdc_range_tombstones",
+        "docs_minhash_lsh",
+        "docs_simhash_dups",
+        "docs_dedup_jaccard",
+        "emb_ivf_assign",
+        "emb_ivf_topk",
+        "emb_near_dups",
+    ):
+        plan = _plan(spark, queries[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_assign_argmin_is_hash_aggregate(spark, queries):
+    """The corpus-side argmin must stay a packed-long MIN hash aggregate
+    (round-2's weak spot was a Window over corpus x centroids): no Window,
+    no Sort, HashAggregate present, and the only nested-loop join is the
+    bounded corpus x broadcast-centroids scoring."""
+    plan = _plan(spark, queries["emb_ivf_assign"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert _count(plan, "Sort") == 0
+    assert _count(plan, "HashAggregate") >= 1
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_lww_state_plan_shape(spark, queries):
+    """cdc_full_state: SortAggregate only as the struct-max winner pick
+    (bounded — it adds no shuffle beyond the keyed one), tombstone joins
+    are equi/broadcast joins, never nested-loop over the event relation."""
+    plan = _plan(spark, queries["cdc_full_state"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _count(plan, "SortAggregate") <= 4
+    assert _count(plan, "HashAggregate") >= 1
+
+
+def test_band_joins_are_equi_joins(spark, queries):
+    """MinHash-LSH and SimHash retrieval must join on band buckets (hash /
+    sort-merge / broadcast equi-joins) — the all-pairs shape would appear
+    as a nested-loop join."""
+    for name in ("docs_minhash_lsh", "docs_simhash_dups"):
+        plan = _plan(spark, queries[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert (
+            _count(plan, "SortMergeJoin")
+            + _count(plan, "BroadcastHashJoin")
+            + _count(plan, "ShuffledHashJoin")
+            >= 1
+        ), name
+
+
+def test_decode_envelope_is_map_only(spark, queries):
+    """D11 envelope construction is a pure scan-project plan: no exchange,
+    no aggregate, no join — decode stays at scan speed."""
+    plan = _plan(spark, queries["cdc_decode_envelope"](spark, SF_DIR))
+    # substring check on purpose: catches every operator family member
+    # (BroadcastHashJoin, HashAggregate, ...) in one sweep
+    for op in ("Exchange", "Join", "Aggregate", "Window", "CartesianProduct"):
+        assert op not in plan, op

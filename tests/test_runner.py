@@ -268,6 +268,60 @@ def test_schema_evolution_mid_stream(spark, tmp_path):
     assert got.loc[1, "meta"] == "m2"
 
 
+def test_ttl_expiry_exact_horizon(spark):
+    """D7 expiring cells in the STREAMED path: a cell with deletion_ts =
+    writetime + ttl keeps its value strictly BEFORE the horizon, and at/past
+    the horizon holds neither value nor row visibility — the row vanishes
+    exactly at deletion_ts (delete-wins-ties at the expiry instant, like
+    Cassandra's localDeletionTime <= now rule)."""
+    from debezium_connector_cassandra_spark.operators.lww import (
+        drop_invisible,
+        finalize_state,
+        reduce_events,
+    )
+    from debezium_connector_cassandra_spark.sources.generator import (
+        gen_mutation_log,
+    )
+
+    # updates only (no INSERT liveness) so TTL alone carries visibility
+    log = gen_mutation_log(
+        spark, 4000, n_convs=10, seed=13, op_weights=(0, 1, 0, 0, 0),
+        ttl_seconds=300,
+    )
+    ttl_rows = log.where(F.col("cells.tool.deletion_ts").isNotNull())
+    sample = ttl_rows.select("writetime", "cells.tool.deletion_ts", "cells.tool.value").first()
+    assert sample["deletion_ts"] == sample["writetime"] + 300 * 1_000_000
+    assert sample["value"] is not None  # expiring cell carries its live value
+
+    # deterministic horizon pin: one UPDATE whose only content is an
+    # expiring tool cell — the row must exist (with its value) strictly
+    # before deletion_ts and be GONE at/after it
+    wt, ttl_us = 1_000_000, 300 * 1_000_000
+    row = {
+        "segment_id": 0, "position": 0, "log_partition": 0, "op": "u",
+        "conv_id": "k", "turn_idx": 1, "writetime": wt,
+        "cells": {
+            "role": {"value": None, "deletion_ts": None, "set": False},
+            "text": {"value": None, "deletion_ts": None, "set": False},
+            "tool": {"value": "t9", "deletion_ts": wt + ttl_us, "set": True},
+            "ts": {"value": None, "deletion_ts": None, "set": False},
+        },
+        "range_start": None, "range_end": None,
+        "schema_version": 1, "snapshot": False,
+    }
+    from debezium_connector_cassandra_spark.model import MUTATION_LOG_SCHEMA
+
+    one = spark.createDataFrame([row], MUTATION_LOG_SCHEMA)
+    before = drop_invisible(
+        finalize_state(reduce_events(one), as_of_us=wt + ttl_us - 1)
+    ).collect()
+    assert len(before) == 1 and before[0]["tool"] == "t9"
+    at = drop_invisible(
+        finalize_state(reduce_events(one), as_of_us=wt + ttl_us)
+    ).collect()
+    assert at == []  # the row vanishes exactly at its TTL horizon
+
+
 def test_snapshot_ttl_deletion_ts(spark):
     """S6 TTL math (SnapshotProcessor.calculateDeletionTs:342-344):
     deletion_ts = snapshot writetime + ttl seconds in micros; expiring cells
