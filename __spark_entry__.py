@@ -522,6 +522,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_changes_export"] = cdc_changes_export
 
+    # --- tracing SPI analog: per-event span relation -----------------------
+    def cdc_trace_spans(spark, sf_dir):
+        # two deterministic spans per emitted record (TracingEmitter /
+        # TracingUtils.traceEmit: backdated db-log-write + debezium-read
+        # child carrying the CDC lag); fixed read timestamp so the relation
+        # is reproducible
+        from debezium_connector_cassandra_spark.lake.changes import envelope_rows
+        from debezium_connector_cassandra_spark.operators.tracing import (
+            trace_spans,
+        )
+
+        log = derived_log(spark, sf_dir)
+        env = envelope_rows(log, tombstones_on_delete=True)
+        return trace_spans(env, read_ts_ms=1_700_000_000_000)
+
+    q["cdc_trace_spans"] = cdc_trace_spans
+
     # --- D9 full form: unpaired bound markers paired in log order, then the
     # full state build — must equal the paired-log full state exactly
     # (RangeTombstoneContext.java:20-40 semantics)
@@ -1552,6 +1569,49 @@ SELECT segment_id, position + 1, log_partition,
   NULL AS after_text,
   TRUE AS is_tombstone_record
 FROM m WHERE op IN ('d','p')
+"""
+    )
+
+    _READ_TS = 1_700_000_000_000
+    o["cdc_trace_spans"] = _duck(
+        f"""
+, env AS (
+  SELECT segment_id, position, log_partition, conv_id,
+         CASE WHEN op IN ('i','u','d') THEN turn_idx END AS turn_idx,
+         CAST((writetime - (writetime % 1000)) / 1000 AS bigint) AS ts_ms
+  FROM m
+  UNION ALL
+  SELECT segment_id, position + 1, log_partition, conv_id,
+         CASE WHEN op = 'd' THEN turn_idx END AS turn_idx,
+         CAST((writetime - (writetime % 1000)) / 1000 AS bigint) AS ts_ms
+  FROM m WHERE op IN ('d','p')
+),
+tr AS (
+  SELECT *, concat('CommitLog-7-', CAST(segment_id AS varchar), '.log') AS file,
+         md5(concat_ws(':',
+             concat('CommitLog-7-', CAST(segment_id AS varchar), '.log'),
+             CAST(position AS varchar), conv_id,
+             coalesce(CAST(turn_idx AS varchar), ''))) AS trace_id
+  FROM env
+)
+SELECT segment_id, position, log_partition, conv_id, turn_idx, trace_id,
+  'db-log-write' AS name,
+  substr(md5(concat(trace_id, 'w')), 1, 16) AS span_id,
+  CAST(NULL AS varchar) AS parent_span_id,
+  ts_ms AS start_ms, CAST(NULL AS bigint) AS lag_ms,
+  'agents' AS db_instance, 'cassandra' AS db_type,
+  'synthetic' AS db_cdc_name, 'transcripts' AS db_table,
+  'false' AS db_snapshot, file AS db_file, CAST(position AS varchar) AS db_pos
+FROM tr
+UNION ALL
+SELECT segment_id, position, log_partition, conv_id, turn_idx, trace_id,
+  'debezium-read',
+  substr(md5(concat(trace_id, 'r')), 1, 16),
+  substr(md5(concat(trace_id, 'w')), 1, 16),
+  {_READ_TS}, {_READ_TS} - ts_ms,
+  'agents', 'cassandra', 'synthetic', 'transcripts',
+  'false', file, CAST(position AS varchar)
+FROM tr
 """
     )
 

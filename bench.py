@@ -46,6 +46,8 @@ HEADLINE_QUERIES = [
     "cdc_schema_evolution",
     "cdc_snapshot_union",
     "cdc_offsets_checkpoint",
+    # round 4: logged-batch explode + full state (the BatchTest analog)
+    "cdc_batch_mutations",
 ]
 
 

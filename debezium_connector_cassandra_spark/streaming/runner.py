@@ -87,6 +87,7 @@ class CdcRunner:
         routing_mode: str | None = None,
         n_queues: int = 8,
         batch_mutations: bool = False,
+        tracing: bool = False,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -129,6 +130,20 @@ class CdcRunner:
             self.changes = ChangesExport(spark, f"{target_path}/changes")
         else:
             self.changes = None
+        # tracing SPI analog (TracingEmitter decorator, tracing.enabled=true):
+        # spans decorate the EMISSION surface, so they require the export
+        if tracing and not export_changes:
+            raise ValueError(
+                "tracing=True decorates the change-record emission "
+                "(TracingEmitter analog) and requires export_changes=True"
+            )
+        self.tracing = tracing
+        if tracing:
+            from ..lake.changes import ChangesExport
+
+            self.traces = ChangesExport(spark, f"{target_path}/traces")
+        else:
+            self.traces = None
         if LakeTable.exists(f"{target_path}/state"):
             self.target = CdcTarget.open(spark, target_path)
         else:
@@ -478,14 +493,21 @@ class CdcRunner:
                     full = pair_range_markers(full)
                 if self.decode_binary:
                     full = self._decode_payload(full)
-                self.changes.write_segments(
-                    envelope_rows(
-                        full,
-                        excluded_fields=self.excluded_fields,
-                        tombstones_on_delete=self.tombstones_on_delete,
-                    ),
-                    done_now,
+                env = envelope_rows(
+                    full,
+                    excluded_fields=self.excluded_fields,
+                    tombstones_on_delete=self.tombstones_on_delete,
                 )
+                self.changes.write_segments(env, done_now)
+                if self.traces is not None:
+                    # two deterministic spans per emitted record (backdated
+                    # write + read with CDC lag); same segment-overwrite
+                    # idempotence as the changes export
+                    from ..operators.tracing import trace_spans
+
+                    self.traces.write_segments(
+                        trace_spans(env, read_ts_ms=now_ms), done_now
+                    )
 
         if self.commit_log_transfer is not None:
             for row in lineage_rows:
