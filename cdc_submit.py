@@ -33,6 +33,10 @@ def main() -> None:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--hot-fraction", type=float, default=0.0)
     g.add_argument("--dup-fraction", type=float, default=0.0)
+    g.add_argument("--ttl-seconds", type=int, default=None,
+                   help="emit expiring cells (deletion_ts = writetime + ttl)")
+    g.add_argument("--pack-batches", type=int, default=None, metavar="N",
+                   help="pack runs of N mutations into atomic LOGGED-batch records")
     g.add_argument("--encode-payload", choices=["none", "json", "binary"],
                    default="none",
                    help="serialize cells into a payload column (S5 fidelity "
@@ -60,6 +64,10 @@ def main() -> None:
                         "table_kind classify-and-skip columns)")
     r.add_argument("--decode-binary", action="store_true",
                    help="log carries serialized payloads (S5 fidelity mode)")
+    r.add_argument("--batch-mutations", action="store_true",
+                   help="log carries atomic multi-change records (LOGGED batch analog)")
+    r.add_argument("--tracing", action="store_true",
+                   help="emit the per-event span relation alongside the changes export")
     r.add_argument("--payload-format", choices=["json", "binary"], default="json",
                    help="payload codec for --decode-binary")
 
@@ -114,7 +122,14 @@ def main() -> None:
             seed=args.seed,
             hot_fraction=args.hot_fraction,
             dup_fraction=args.dup_fraction,
+            ttl_seconds=args.ttl_seconds,
         )
+        if args.pack_batches:
+            from debezium_connector_cassandra_spark.sources.generator import (
+                pack_batches,
+            )
+
+            df = pack_batches(df, group_size=args.pack_batches)
         if args.encode_payload == "json":
             from debezium_connector_cassandra_spark.functions.decode import (
                 encode_payload,
@@ -143,6 +158,8 @@ def main() -> None:
             log_schema="infer" if (args.infer_log_schema or args.decode_binary) else None,
             decode_binary=args.decode_binary,
             payload_format=args.payload_format,
+            batch_mutations=args.batch_mutations,
+            tracing=args.tracing,
         )
         results = runner.run(max_batches=args.max_batches)
         print(json.dumps({"batches": results}))
