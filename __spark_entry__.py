@@ -1022,6 +1022,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_simhash_dups"] = docs_simhash_dups
 
+    def docs_contamination(spark, sf_dir):
+        # benchmark decontamination: 13-gram word overlap against an eval
+        # set (the published GPT-3/PaLM-style rule); benchmark side broadcast
+        from debezium_connector_cassandra_spark.operators.text_dedup import (
+            contamination_check,
+        )
+
+        bench = _docs(spark, sf_dir).where(F.col("doc_id") % 17 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        return contamination_check(_corpus(spark, sf_dir), bench, n=13)
+
+    q["docs_contamination"] = docs_contamination
+
+    def docs_sample_stratified(spark, sf_dir):
+        # reproducible hash sampling with per-stratum rates (the training-
+        # mixture primitive): same rows kept on any cluster/partitioning
+        from debezium_connector_cassandra_spark.operators.text_dedup import (
+            deterministic_sample,
+        )
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "stratum", F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+        )
+        out = deterministic_sample(
+            docs, strata_rates={"0": 0.5, "1": 0.2}, strata_col="stratum"
+        )
+        return out.select("doc_id", "stratum")
+
+    q["docs_sample_stratified"] = docs_sample_stratified
+
+    def docs_repetition(spark, sf_dir):
+        # Gopher-style intra-doc repetition signals over the corpus plus
+        # injected triple-repeated docs
+        from debezium_connector_cassandra_spark.functions.text import (
+            repetition_features,
+        )
+
+        docs = _docs(spark, sf_dir)
+        reps = docs.where(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.concat_ws("\n", "text", "text", "text").alias("text"),
+        )
+        return repetition_features(docs.unionByName(reps))
+
+    q["docs_repetition"] = docs_repetition
+
     def docs_quality(spark, sf_dir):
         from debezium_connector_cassandra_spark.functions.text import quality_features
 
@@ -1772,6 +1819,70 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    o["docs_contamination"] = CORPUS + r"""
+, bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 17 = 0),
+dt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+  FROM dt, generate_series(1, 2000) t(i) WHERE i + 12 <= len(toks)
+),
+bt AS (SELECT bench_id, string_split_regex(trim(text), '\s+') AS toks FROM bench),
+bg AS (
+  SELECT DISTINCT bench_id, array_to_string(toks[i:i+12], ' ') AS gram
+  FROM bt, generate_series(1, 2000) t(i) WHERE i + 12 <= len(toks)
+)
+SELECT doc_id, count(DISTINCT gram) AS n_shared_grams,
+       count(DISTINCT bench_id) AS n_bench_docs
+FROM dg JOIN bg USING (gram) GROUP BY 1
+"""
+
+    o["docs_sample_stratified"] = f"""
+WITH s AS (
+  SELECT doc_id, CAST(doc_id % 3 AS varchar) AS stratum,
+         {H.format(x="concat('sample#', CAST(doc_id AS varchar))")} % 1000000 AS h
+  FROM documents
+)
+SELECT doc_id, stratum FROM s
+WHERE (stratum = '0' AND h < 500000) OR (stratum = '1' AND h < 200000)
+"""
+
+    o["docs_repetition"] = r"""
+WITH rcorpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, concat_ws(chr(10), text, text, text)
+  FROM documents WHERE doc_id % 10 = 7
+),
+lns AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM rcorpus
+  ) WHERE len(line) > 0
+),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lns GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id,
+    sum(c) AS n_lines,
+    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_cnt,
+    sum(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS dup_chars,
+    sum(c * len(line)) AS total_chars
+  FROM lc GROUP BY 1
+),
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM rcorpus),
+bi AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+  FROM tok, generate_series(1, 2000) t(i) WHERE i + 1 <= len(toks)
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi FROM bc GROUP BY 1)
+SELECT r.doc_id,
+  round(CAST(coalesce(dup_cnt, 0) AS double) / greatest(coalesce(n_lines, 1), 1), 4) AS dup_line_frac,
+  round(CAST(coalesce(dup_chars, 0) AS double) / greatest(coalesce(total_chars, 1), 1), 4) AS dup_line_char_frac,
+  round(CAST(coalesce(top_c, 0) AS double) / greatest(coalesce(n_bi, 1), 1), 4) AS top_bigram_frac
+FROM rcorpus r
+LEFT JOIN per_doc p ON p.doc_id = r.doc_id
+LEFT JOIN top t ON t.doc_id = r.doc_id
 """
 
     o["docs_quality"] = """

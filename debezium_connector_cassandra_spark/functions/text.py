@@ -59,6 +59,51 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style repetition
+    filters a pretraining pipeline thresholds on):
+
+    - ``dup_line_frac``      — fraction of lines occurring more than once
+    - ``dup_line_char_frac`` — fraction of characters in duplicated lines
+    - ``top_bigram_frac``    — occurrences of the most frequent word bigram
+                               over total bigrams
+
+    All computed with array higher-order functions INSIDE the row (no
+    per-line/per-bigram explode): aggregate over array_distinct keeps the
+    whole computation map-only — scan-speed at corpus scale."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    uniq = F.array_distinct(lines)
+    occ = lambda arr, x: F.size(F.filter(arr, lambda y: y == x))  # noqa: E731
+    dup_lines = F.filter(uniq, lambda x: occ(lines, x) > 1)
+    dup_cnt = F.aggregate(
+        dup_lines, F.lit(0), lambda acc, x: acc + occ(lines, x)
+    )
+    dup_chars = F.aggregate(
+        dup_lines, F.lit(0), lambda acc, x: acc + occ(lines, x) * F.length(x)
+    )
+    total_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+
+    toks = tokens(t)
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bi = F.array_max(
+        F.transform(F.array_distinct(bigrams), lambda g: occ(bigrams, g))
+    )
+    return df.select(
+        "doc_id",
+        F.round(dup_cnt / F.greatest(F.size(lines), F.lit(1)), 4).alias("dup_line_frac"),
+        F.round(dup_chars / F.greatest(total_chars, F.lit(1)), 4).alias("dup_line_char_frac"),
+        F.round(F.coalesce(top_bi, F.lit(0)) / F.greatest(n_bi, F.lit(1)), 4).alias("top_bigram_frac"),
+    )
+
+
 LANG_MARKERS = {
     "en": r" (the|and|of) ",
     "es": r" (el|la|de|y) ",

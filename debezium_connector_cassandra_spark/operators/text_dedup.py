@@ -239,6 +239,85 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+def word_ngrams(docs: DataFrame, n: int = 13, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, gram) relation of space-joined word n-grams (distinct per doc).
+
+    Pure Catalyst (split + transform over an index sequence) — the explode
+    is the only row multiplier, same shape as the char-shingle relation."""
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-test contamination: documents sharing >= 1 word n-gram with a
+    benchmark/eval document — the standard LM decontamination rule (13-gram
+    overlap, as published for GPT-3/PaLM-style training pipelines).
+
+    Returns (doc_id, n_shared_grams, n_bench_docs) for CONTAMINATED docs
+    only. ``benchmark`` needs (bench_id, text).
+
+    100 TB shape: the benchmark side is tiny (eval suites are MBs) —
+    broadcast it, so the corpus-side gram relation streams through a
+    broadcast hash join with no corpus shuffle; the per-doc count aggregate
+    is the only shuffle, at contaminated-doc grain (rare).
+    """
+    dg = word_ngrams(docs, n=n, text_col=text_col)
+    bg = word_ngrams(
+        benchmark.select(F.col("bench_id").alias("doc_id"), text_col), n=n,
+        text_col=text_col,
+    ).select(F.col("doc_id").alias("bench_id"), "gram").distinct()
+    hits = dg.join(F.broadcast(bg), "gram")
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("gram").alias("n_shared_grams"),
+        F.count_distinct("bench_id").alias("n_bench_docs"),
+    )
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    rate: float | None = None,
+    key_col: str = "doc_id",
+    strata_rates: dict | None = None,
+    strata_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Reproducible hash sampling — the training-mixture primitive: keep a
+    row iff pmod(hash64(salt # key), 1e6) < rate * 1e6.
+
+    No RNG state, no seed plumbing: the SAME rows are kept on any cluster,
+    any partitioning, any retry — which is what makes dataset mixtures
+    reproducible and incremental (raising the rate strictly grows the
+    sample). ``strata_rates`` + ``strata_col`` give per-stratum rates (e.g.
+    per language / quality bucket); strata absent from the dict keep
+    rate 0. Map-only filter — pushed to the scan, no shuffle."""
+    h = F.pmod(hash64(F.concat(F.lit(f"{salt}#"), F.col(key_col).cast("string"))), F.lit(1_000_000))
+    if strata_rates is not None:
+        if strata_col is None:
+            raise ValueError("strata_rates requires strata_col")
+        keep = F.lit(False)
+        for stratum, r in strata_rates.items():
+            keep = keep | (
+                (F.col(strata_col) == stratum) & (h < int(r * 1_000_000))
+            )
+    else:
+        if rate is None:
+            raise ValueError("pass rate= or strata_rates=")
+        keep = h < int(rate * 1_000_000)
+    return docs.where(keep)
+
+
 def simhash_near_dups(
     docs: DataFrame,
     bits: int = 64,

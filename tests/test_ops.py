@@ -131,6 +131,56 @@ def test_dup_clusters_min_label_and_convergence_guard(spark):
         dup_clusters(chain, max_iters=2)
 
 
+def test_contamination_check_13gram(spark):
+    from debezium_connector_cassandra_spark.operators.text_dedup import (
+        contamination_check,
+    )
+
+    base = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base + " and a tail of extra words"),
+            Row(doc_id=1, text="totally different words that never overlap the benchmark at all here"),
+        ]
+    )
+    bench = spark.createDataFrame([Row(bench_id=100, text=base)])
+    got = {r["doc_id"]: r for r in contamination_check(docs, bench, n=13).collect()}
+    assert 0 in got and got[0]["n_bench_docs"] == 1
+    assert 1 not in got  # clean doc is absent from the contamination relation
+
+
+def test_deterministic_sample_reproducible_and_monotone(spark):
+    from debezium_connector_cassandra_spark.operators.text_dedup import (
+        deterministic_sample,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="x") for i in range(500)])
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, rate=0.3).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs.repartition(7), rate=0.3).collect()}
+    assert s1 == s2  # partitioning-independent
+    bigger = {r["doc_id"] for r in deterministic_sample(docs, rate=0.6).collect()}
+    assert s1 <= bigger  # raising the rate strictly grows the sample
+    assert 0.2 < len(s1) / 500 < 0.4
+
+
+def test_repetition_features_gopher_signals(spark):
+    from debezium_connector_cassandra_spark.functions.text import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="unique line a\nunique line b\nunique line c"),
+            Row(doc_id=1, text="same line\nsame line\nsame line"),
+            Row(doc_id=2, text="spam spam spam spam spam spam"),
+        ]
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[0]["dup_line_frac"] == 0.0
+    assert got[1]["dup_line_frac"] == 1.0 and got[1]["dup_line_char_frac"] == 1.0
+    assert got[2]["top_bigram_frac"] == 1.0  # every bigram is "spam spam"
+
+
 def test_cosine_topk_exact(spark):
     embs = spark.createDataFrame(
         [
