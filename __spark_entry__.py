@@ -355,7 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         log = derived_log(spark, sf_dir)
-        batched = pack_batches(log, group_size=4)
+        # positions stride 16 in the derived log -> arithmetic batch key
+        # (one keyed shuffle, no row_number window)
+        batched = pack_batches(log, group_size=4, position_stride=16)
         return _state_pipeline(
             explode_batch_mutations(batched), payload, ("i", "u", "d", "p", "r")
         )

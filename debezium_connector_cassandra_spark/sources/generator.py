@@ -389,7 +389,9 @@ def gen_multi_table_log(
     return out
 
 
-def pack_batches(log: DataFrame, group_size: int = 4) -> DataFrame:
+def pack_batches(
+    log: DataFrame, group_size: int = 4, position_stride: int | None = None
+) -> DataFrame:
     """Producer-side analog of LOGGED batches: pack each run of
     ``group_size`` consecutive mutations within a segment into ONE atomic
     multi-change record (model.BATCH_LOG_SCHEMA) at the run's first
@@ -401,13 +403,26 @@ def pack_batches(log: DataFrame, group_size: int = 4) -> DataFrame:
     the batch default writetime is the members' min. Exploding the result
     therefore replays to exactly the same final state as the flat log
     (writetimes drive LWW; positions only break ties writetime uniqueness
-    already settles). Window-based — producer-side cold path, one pass."""
-    from pyspark.sql.window import Window
+    already settles).
 
-    w = Window.partitionBy("segment_id", "log_partition").orderBy("position")
-    batched = log.withColumn(
-        "_b", ((F.row_number().over(w) - 1) / F.lit(group_size)).cast("long")
-    )
+    ``position_stride``: when the log's positions advance by a known fixed
+    stride (both generators use 16), the batch key is pure arithmetic —
+    floor(position / (stride * group_size)) — and the plan is ONE keyed
+    shuffle. Without it, a row_number window assigns run indices (an extra
+    sort+shuffle — fine for the producer-side cold path, not the benched
+    one)."""
+    if position_stride is not None:
+        batched = log.withColumn(
+            "_b",
+            (F.col("position") / F.lit(int(position_stride) * group_size)).cast("long"),
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("segment_id", "log_partition").orderBy("position")
+        batched = log.withColumn(
+            "_b", ((F.row_number().over(w) - 1) / F.lit(group_size)).cast("long")
+        )
     change = F.struct(
         F.col("op"),
         F.col("conv_id"),
