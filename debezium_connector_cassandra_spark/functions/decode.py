@@ -222,6 +222,41 @@ def explode_batch_mutations(log: DataFrame) -> DataFrame:
     )
 
 
+def explode_mt_batch_mutations(log: DataFrame) -> DataFrame:
+    """Multi-table batch log (model.MT_BATCH_LOG_SCHEMA) -> canonical
+    per-change rows (model.MULTI_TABLE_LOG_SCHEMA order).
+
+    A Mutation is per-keyspace and may touch SEVERAL tables — each change
+    carries its own table name (pu.metadata().name in the reference's loop)
+    while keyspace + offset are the batch's. NULL member writetime inherits
+    the batch default."""
+    return log.select(
+        "segment_id",
+        "position",
+        "log_partition",
+        "keyspace",
+        F.col("writetime").alias("_batch_wt"),
+        F.explode("changes").alias("c"),
+        "schema_version",
+        "snapshot",
+    ).select(
+        "segment_id",
+        "position",
+        "log_partition",
+        "keyspace",
+        F.col("c.table").alias("table"),
+        F.col("c.op").alias("op"),
+        F.col("c.conv_id").alias("conv_id"),
+        F.col("c.turn_idx").alias("turn_idx"),
+        F.coalesce(F.col("c.writetime"), F.col("_batch_wt")).alias("writetime"),
+        F.col("c.payload").alias("payload"),
+        F.col("c.range_start").alias("range_start"),
+        F.col("c.range_end").alias("range_end"),
+        "schema_version",
+        "snapshot",
+    )
+
+
 # ---------------------------------------------------------------------------
 # S5 analog — binary payload decode.
 #

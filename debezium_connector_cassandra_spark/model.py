@@ -139,6 +139,37 @@ BATCH_LOG_SCHEMA = T.StructType(
     ]
 )
 
+# Multi-table batch form: a Cassandra Mutation is PER KEYSPACE and may carry
+# PartitionUpdates for SEVERAL TABLES — handleMutation's loop reads
+# pu.metadata().name per update under the one shared offset
+# (Cassandra4CommitLogReadHandlerImpl.java:255-272). So the MT batch row
+# keeps keyspace at the record level and the TABLE inside each change.
+MT_BATCH_CHANGE_TYPE = T.StructType(
+    [
+        T.StructField("table", T.StringType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("writetime", T.LongType(), True),  # NULL -> batch default
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("range_start", RANGE_BOUND_TYPE, True),
+        T.StructField("range_end", RANGE_BOUND_TYPE, True),
+    ]
+)
+
+MT_BATCH_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("position", T.LongType(), False),
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("keyspace", T.StringType(), False),
+        T.StructField("writetime", T.LongType(), False),
+        T.StructField("changes", T.ArrayType(MT_BATCH_CHANGE_TYPE, False), False),
+        T.StructField("schema_version", T.IntegerType(), False),
+        T.StructField("snapshot", T.BooleanType(), False),
+    ]
+)
+
 # ---------------------------------------------------------------------------
 # Change envelope — reference Record.buildValue (Record.java:80-90):
 # {ts_ms, op, source, after}; key = (conv_id, turn_idx).

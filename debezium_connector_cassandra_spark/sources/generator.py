@@ -460,6 +460,65 @@ def pack_batches(
     )
 
 
+def pack_mt_batches(
+    log: DataFrame, group_size: int = 4, position_stride: int | None = 16
+) -> DataFrame:
+    """Multi-table twin of pack_batches: pack runs of mutations WITHIN A
+    KEYSPACE into one atomic record (model.MT_BATCH_LOG_SCHEMA). A batch may
+    span TABLES of that keyspace — exactly the reference Mutation shape
+    (per-keyspace, PartitionUpdates each naming their own table,
+    handleMutation:255-272)."""
+    if position_stride is not None:
+        batched = log.withColumn(
+            "_b",
+            (F.col("position") / F.lit(int(position_stride) * group_size)).cast("long"),
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("segment_id", "log_partition", "keyspace").orderBy("position")
+        batched = log.withColumn(
+            "_b", ((F.row_number().over(w) - 1) / F.lit(group_size)).cast("long")
+        )
+    change = F.struct(
+        F.col("table"),
+        F.col("op"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("writetime"),
+        F.col("payload"),
+        F.col("range_start"),
+        F.col("range_end"),
+    )
+    return (
+        batched.groupBy("segment_id", "log_partition", "keyspace", "_b")
+        .agg(
+            F.min("position").alias("position"),
+            F.min("writetime").alias("writetime"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("position").alias("_pos"), change.alias("c"))
+                    )
+                ),
+                lambda x: x["c"],
+            ).alias("changes"),
+            F.min("schema_version").alias("schema_version"),
+            F.max("snapshot").alias("snapshot"),
+        )
+        .select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "keyspace",
+            "writetime",
+            "changes",
+            "schema_version",
+            "snapshot",
+        )
+    )
+
+
 def split_range_markers(log: DataFrame) -> DataFrame:
     """Rewrite paired op='r' rows into UNPAIRED bound-marker rows (the
     commit-log fidelity shape: Cassandra emits start and end markers as

@@ -133,6 +133,7 @@ class MultiTableRunner:
         export_changes: bool = False,
         tombstones_on_delete: bool = True,
         payload_format: str = "json",
+        batch_mutations: bool = False,
     ):
         """``table_changes``: DDL ledger of table lifecycle events —
         ``(effective_segment, "create", TableSpec)`` /
@@ -154,6 +155,10 @@ class MultiTableRunner:
         # 'json' = per-table from_json (codegen); 'binary' = the per-TableSpec
         # binary layout + vectorized numpy decoder (functions/binary_codec.py)
         self.payload_format = payload_format
+        # logged-batch mode: the log carries per-keyspace atomic multi-change
+        # records whose changes may span TABLES (the reference Mutation
+        # shape, handleMutation:255-272); _read_log explodes before anything
+        self.batch_mutations = batch_mutations
         self.targets: dict[str, CdcTarget] = {}
         for fqtn, spec in self.specs.items():
             self._ensure_target(fqtn, spec)
@@ -271,6 +276,16 @@ class MultiTableRunner:
         ]
 
     def _read_log(self, segment_ids: list[int]) -> DataFrame:
+        if self.batch_mutations:
+            from ..functions.decode import explode_mt_batch_mutations
+            from ..model import MT_BATCH_LOG_SCHEMA
+
+            raw = (
+                self.spark.read.schema(MT_BATCH_LOG_SCHEMA)
+                .parquet(self.log_path)
+                .where(F.col("segment_id").isin(*[int(s) for s in segment_ids]))
+            )
+            return explode_mt_batch_mutations(raw)
         return (
             self.spark.read.schema(MULTI_TABLE_LOG_SCHEMA)
             .parquet(self.log_path)

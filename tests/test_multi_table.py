@@ -239,6 +239,43 @@ def test_multi_table_streaming_parity(spark, mt_log, tmp_path):
         MultiTableStream(r_ddl)
 
 
+def test_multi_table_batch_mutations_parity(spark, mt_log, tmp_path):
+    """A per-keyspace logged batch whose changes span TABLES (the reference
+    Mutation shape: one offset, PartitionUpdates each naming their own
+    table) drains to the identical per-table state as the flat log."""
+    from debezium_connector_cassandra_spark.sources.generator import (
+        pack_mt_batches,
+    )
+
+    flat = spark.read.parquet(mt_log)
+    packed = pack_mt_batches(flat, group_size=4, position_stride=16)
+    # batches genuinely span tables within a keyspace
+    multi_tbl = packed.where(
+        F.size(F.array_distinct(F.transform(F.col("changes"), lambda c: c["table"]))) > 1
+    ).count()
+    assert multi_tbl > 0
+    bp = str(tmp_path / "batch_log")
+    packed.write.mode("overwrite").partitionBy("segment_id").parquet(bp)
+
+    r_flat = MultiTableRunner(
+        spark, mt_log, str(tmp_path / "tf"), SPECS, segments_per_batch=8
+    )
+    r_flat.run()
+    r_batch = MultiTableRunner(
+        spark, bp, str(tmp_path / "tb"), SPECS, segments_per_batch=8,
+        batch_mutations=True,
+    )
+    r_batch.run()
+    for spec in SPECS:
+        a = sorted(
+            tuple(r) for r in r_batch.targets[spec.fqtn].read_transcripts().collect()
+        )
+        b = sorted(
+            tuple(r) for r in r_flat.targets[spec.fqtn].read_transcripts().collect()
+        )
+        assert a == b, spec.fqtn
+
+
 def test_multi_table_changes_export(spark, mt_log, tmp_path):
     runner = MultiTableRunner(
         spark, mt_log, str(tmp_path / "tgt"), SPECS, segments_per_batch=8,
