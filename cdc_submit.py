@@ -90,6 +90,8 @@ def main() -> None:
     rm.add_argument("--n-buckets", type=int, default=64)
     rm.add_argument("--export-changes", action="store_true")
     rm.add_argument("--payload-format", choices=["json", "binary"], default="json")
+    rm.add_argument("--batch-mutations", action="store_true",
+                    help="log carries per-keyspace atomic multi-change records")
 
     sn = sub.add_parser("snapshot", help="bootstrap from an existing table")
     sn.add_argument("--source-table", required=True, help="parquet path of pre-existing transcripts")
@@ -189,6 +191,7 @@ def main() -> None:
             segments_per_batch=args.segments_per_batch, n_buckets=args.n_buckets,
             export_changes=args.export_changes,
             payload_format=args.payload_format,
+            batch_mutations=args.batch_mutations,
         )
         results = runner.run()
         print(json.dumps({
