@@ -546,7 +546,13 @@ class MultiTableStream:
         self.max_files_per_trigger = max_files_per_trigger
 
     def _source(self) -> DataFrame:
-        reader = self.runner.spark.readStream.schema(MULTI_TABLE_LOG_SCHEMA)
+        if self.runner.batch_mutations:
+            from ..model import MT_BATCH_LOG_SCHEMA
+
+            schema = MT_BATCH_LOG_SCHEMA
+        else:
+            schema = MULTI_TABLE_LOG_SCHEMA
+        reader = self.runner.spark.readStream.schema(schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         return reader.parquet(self.runner.log_path)
@@ -555,6 +561,11 @@ class MultiTableStream:
         import time as _time
 
         r = self.runner
+        if r.batch_mutations:
+            # same explode-before-everything the batch front-end does
+            from ..functions.decode import explode_mt_batch_mutations
+
+            batch_df = explode_mt_batch_mutations(batch_df)
         seg_rows = (
             batch_df.groupBy("keyspace", "table", "segment_id", "log_partition")
             .agg(F.count("*").alias("n"), F.max("position").alias("max_pos"))

@@ -275,6 +275,26 @@ def test_multi_table_batch_mutations_parity(spark, mt_log, tmp_path):
         )
         assert a == b, spec.fqtn
 
+    # streaming front-end over the SAME batch log reaches the same state
+    from debezium_connector_cassandra_spark.streaming.multi_table import (
+        MultiTableStream,
+    )
+
+    r_stream = MultiTableRunner(
+        spark, bp, str(tmp_path / "tsb"), SPECS, batch_mutations=True
+    )
+    MultiTableStream(r_stream, max_files_per_trigger=3).run_available(
+        str(tmp_path / "ckpt_b")
+    )
+    for spec in SPECS:
+        a = sorted(
+            tuple(r) for r in r_stream.targets[spec.fqtn].read_transcripts().collect()
+        )
+        b = sorted(
+            tuple(r) for r in r_flat.targets[spec.fqtn].read_transcripts().collect()
+        )
+        assert a == b, spec.fqtn
+
 
 def test_multi_table_changes_export(spark, mt_log, tmp_path):
     runner = MultiTableRunner(
