@@ -1140,6 +1140,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ivf_kmeans_topk"] = emb_ivf_kmeans_topk
 
+    def emb_pq_codes(spark, sf_dir):
+        # product quantization encode: m=4 subvectors x 16 codewords — each
+        # vector compresses to 4 codes (the billion-vector memory path);
+        # argmin per subvector is the packed-long hash aggregate
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        embs = _embs(spark, sf_dir)
+        codes = pq_encode(embs, pq_codebooks(embs))
+        return codes.select(
+            "vec_id", F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes_s")
+        )
+
+    q["emb_pq_codes"] = emb_pq_codes
+
+    def emb_pq_topk(spark, sf_dir):
+        # asymmetric-distance top-k: per-query m x 16 lookup table
+        # (broadcast), database vectors scored by summing integer lookups
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            pq_adc_topk,
+        )
+
+        embs = _embs(spark, sf_dir)
+        return pq_adc_topk(embs, embs.where(F.col("vec_id") < 8), k=5)
+
+    q["emb_pq_topk"] = emb_pq_topk
+
     def emb_near_dups(spark, sf_dir):
         from debezium_connector_cassandra_spark.operators.similarity import (
             embedding_near_dups,
@@ -2130,6 +2159,58 @@ SELECT query_id, neighbor_id, rank, sim FROM (
         f"SELECT vec_id, {b} AS band, CAST({_band_bucket_sql(b)} AS bigint) AS bucket FROM embeddings"
         for b in range(4)
     )
+    _PQ_BASE = """
+WITH cb AS (
+  SELECT j, vec_id AS code_id, embedding[j*16+1 : j*16+16] AS cw
+  FROM embeddings, generate_series(0, 3) t(j) WHERE vec_id < 16
+),
+sv AS (
+  SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS sv
+  FROM embeddings, generate_series(0, 3) t(j)
+),
+scored AS (
+  SELECT sv.vec_id, sv.j, cb.code_id,
+    round(list_sum(list_transform(list_zip(sv.sv, cb.cw),
+      t -> (CAST(t[1] AS double) - CAST(t[2] AS double)) ** 2)), 4) AS dist
+  FROM sv JOIN cb ON cb.j = sv.j
+),
+best AS (
+  SELECT vec_id, j,
+    min(CAST(round(dist * 10000, 0) AS bigint) * 1048576 + code_id) AS enc
+  FROM scored GROUP BY 1, 2
+),
+codes AS (SELECT vec_id, j, enc % 1048576 AS code FROM best)
+"""
+
+    o["emb_pq_codes"] = _PQ_BASE + """
+SELECT vec_id, string_agg(CAST(code AS varchar), '-' ORDER BY j) AS codes_s
+FROM codes GROUP BY 1
+"""
+
+    o["emb_pq_topk"] = _PQ_BASE + """
+, lut AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.code_id AS code,
+    CAST(round(round(list_sum(list_transform(
+        list_zip(q.embedding[cb.j*16+1 : cb.j*16+16], cb.cw),
+        t -> (CAST(t[1] AS double) - CAST(t[2] AS double)) ** 2)), 4) * 10000, 0) AS bigint) AS d4
+  FROM embeddings q, cb WHERE q.vec_id < 8
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, sum(d4) AS d4_sum
+  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+  WHERE l.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d4_sum, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS int) AS rank,
+       CAST(d4_sum AS double) / 10000.0 AS adc_dist
+FROM ranked WHERE rank <= 5
+"""
+
     o["emb_near_dups"] = f"""
 WITH banded AS ({BANDED}),
 cand AS (

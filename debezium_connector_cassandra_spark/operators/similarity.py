@@ -184,6 +184,7 @@ def kmeans_centroids(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over the embedding corpus, entirely as
     DataFrame aggregates — the production replacement for the smallest-id
@@ -218,10 +219,18 @@ def kmeans_centroids(
     cents = v.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("vec").alias("c_vec")
     )
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     for _ in range(n_iters):
+        # cosine (1 - dot) for normalized full vectors; squared L2 for
+        # un-normalized subspaces (the PQ sub-quantizer case)
+        raw = (
+            F.lit(1.0) - _dot(F.col("vec"), F.col("c_vec"))
+            if metric == "cosine"
+            else _l2sq(F.col("vec"), F.col("c_vec"))
+        )
         scored = v.join(F.broadcast(cents)).withColumn(
-            "dist",
-            F.round(F.lit(1.0) - _dot(F.col("vec"), F.col("c_vec")), 4) + F.lit(0.0),
+            "dist", F.round(raw, 4) + F.lit(0.0)
         )
         assigned = _argmin_centroid(scored).select("vec_id", "centroid_id")
         sums = (
@@ -356,4 +365,223 @@ def embedding_near_dups(
         .withColumn("sim", F.round(_dot(F.col("vec_a"), F.col("vec_b")), 4))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ) — the billion-vector ANN memory/compute path:
+# each vector compresses to m sub-codes (here 4 x 4-bit-ish codes over 16-dim
+# subvectors); query scoring is ASYMMETRIC DISTANCE (ADC): per query build an
+# m x k lookup table of subvector distances against the codebooks, then a
+# database vector's distance is the SUM of m table lookups — no float vector
+# is touched at scan time.
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 over two float arrays — sequential fold, double precision
+    (deterministic, matches an in-order SQL evaluation)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(subvector j, code_id, codeword) codebook relation — m * n_codes rows,
+    always broadcast by callers.
+
+    Codewords follow the engine's deterministic smallest-id convention (the
+    n_codes smallest-id vectors' j-th subvector slices — oracle-friendly,
+    same convention as ivf_assign); production swaps in per-subvector
+    k-means, which changes WHERE this relation comes from, not any plan
+    downstream."""
+    sub = dim // m
+    slices = [
+        F.struct(
+            F.lit(j).alias("sub_j"),
+            F.col(id_col).cast("long").alias("code_id"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("codeword"),
+        )
+        for j in range(m)
+    ]
+    return (
+        embeddings.where(F.col(id_col) < n_codes)
+        .select(F.explode(F.array(*slices)).alias("s"))
+        .select("s.sub_j", "s.code_id", "s.codeword")
+    )
+
+
+def pq_codebooks_kmeans(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED codebooks: per-subvector deterministic L2 k-means (the real
+    PQ sub-quantizer). m sequential Lloyd runs over dim/m-dim slices, each
+    with the bounded (<= n_codes rows) driver materialization
+    kmeans_centroids already does; the result is the same broadcastable
+    (sub_j, code_id, codeword) relation as pq_codebooks."""
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding"),
+        )
+        cents = kmeans_centroids(
+            sliced, n_centroids=n_codes, n_iters=n_iters, dim=sub, metric="l2"
+        )
+        parts.append(
+            cents.select(
+                F.lit(j).alias("sub_j"),
+                F.col("centroid_id").alias("code_id"),
+                F.col("c_vec").alias("codeword"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as m sub-codes: per subvector, nearest codeword
+    by squared L2. Plan: ONE pass — corpus x broadcast codebooks (m*n_codes
+    rows), per-(vec, subvector) argmin as the packed-long MIN hash aggregate
+    (no sort/window on the corpus side, same shape as ivf_assign), then the
+    m codes collect into an ordered array at one-row-per-vector grain.
+
+    Returns (vec_id, codes array<long>). At 100 TB the codes relation is the
+    ONLY thing retained per vector: m longs instead of dim floats (the PQ
+    memory story)."""
+    sub = dim // m
+    scored = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(codebooks))
+        .withColumn(
+            "dist",
+            F.round(
+                _l2sq(
+                    F.element_at(
+                        F.array(*[F.slice(F.col("vec"), j * sub + 1, sub) for j in range(m)]),
+                        F.col("sub_j") + 1,
+                    ),
+                    F.col("codeword"),
+                ),
+                4,
+            )
+            + F.lit(0.0),
+        )
+    )
+    _M = 1 << 20
+    d4 = F.round(F.col("dist") * 10000, 0).cast("long")
+    enc = d4 * _M + F.col("code_id")
+    per_sub = (
+        scored.groupBy("vec_id", "sub_j")
+        .agg(F.min(enc).alias("enc"))
+        .select("vec_id", "sub_j", F.pmod(F.col("enc"), F.lit(_M)).alias("code"))
+    )
+    return per_sub.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub_j", "code"))), lambda x: x["code"]
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: per query an m x n_codes distance
+    lookup table (tiny — broadcast), database vectors scored by SUMMING m
+    integer table lookups.
+
+    Plan: codes explode to (vec, sub_j, code) — m x corpus, joined to the
+    broadcast LUT on (query x sub_j x code); the per-(query, vec) SUM
+    partial-combines map-side (a vector's m rows are co-located by
+    construction) so the shuffle is one row per (query, vec); top-k per
+    query is a window over the query-partitioned relation (|queries| side).
+    Distances sum as INTEGER ten-thousandths — order-insensitive, so the
+    aggregate is deterministic across any partitioning.
+
+    Returns (query_id, neighbor_id, rank, adc_dist)."""
+    from pyspark.sql import Window as W
+
+    sub = dim // m
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, m=m, n_codes=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    enc = codes if codes is not None else pq_encode(
+        embeddings, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    lut = (
+        q.join(F.broadcast(cb))
+        .withColumn(
+            "d4",
+            F.round(
+                F.round(
+                    _l2sq(
+                        F.element_at(
+                            F.array(*[F.slice(F.col("q_vec"), j * sub + 1, sub) for j in range(m)]),
+                            F.col("sub_j") + 1,
+                        ),
+                        F.col("codeword"),
+                    ),
+                    4,
+                )
+                * 10000,
+                0,
+            ).cast("long"),
+        )
+        .select("query_id", "sub_j", F.col("code_id").alias("code"), "d4")
+    )
+    exploded = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(F.col("codes")).alias("sub_j", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["sub_j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d4").alias("d4_sum"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", F.col("d4_sum").cast("double") / F.lit(10000.0) + F.lit(0.0))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d4_sum").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
     )

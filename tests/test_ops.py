@@ -195,6 +195,45 @@ def test_cosine_topk_exact(spark):
     assert order == [1, 2]
 
 
+def test_pq_codes_and_adc_recall(spark):
+    """PQ contract: a codebook-source vector encodes to its own id in every
+    subvector (distance 0, ties break code_id ASC); ADC top-k over the real
+    embeddings overlaps decently with exact cosine top-k (normalized
+    vectors: L2 rank == cosine rank, PQ only adds quantization error)."""
+    from debezium_connector_cassandra_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_codebooks_kmeans,
+        pq_encode,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks(embs)
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(embs, cb).collect()}
+    assert len(codes[0]) == 4
+    for vid in range(16):
+        assert codes[vid] == [vid] * 4  # own codeword at distance 0
+
+    # recall sanity uses TRAINED (per-subvector L2 k-means) codebooks — the
+    # smallest-id convention is the oracle hook, not a usable quantizer.
+    # The synthetic embeddings are near-random, so neighbor structure is
+    # weak: measured recall@5 ~0.25 with m=8 (BENCH/pq_recall.json) — far
+    # above the 0.01 chance floor of picking 5 of 499, which is what this
+    # bound pins.
+    cb_t = pq_codebooks_kmeans(embs, m=8, n_iters=2)
+    codes_t = pq_encode(embs, cb_t, m=8)
+    queries = embs.where(F.col("vec_id").between(20, 31))
+    exact = {}
+    for r in cosine_topk(embs, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in pq_adc_topk(embs, queries, k=5, m=8, codebooks=cb_t, codes=codes_t).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q] & approx[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.15
+
+
 def test_multimodal_stub_contract(spark):
     docs = spark.createDataFrame(DOCS)
     media = attach_payload(docs)
