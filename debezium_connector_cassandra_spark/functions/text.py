@@ -85,11 +85,14 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     total_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
 
     toks = tokens(t)
-    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    # denominator = the number of bigrams actually generated (capped), so
+    # the fraction stays consistent with the capped list on very long docs
+    n_bi = F.least(F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(2000))
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
+            # cap mirrors the DuckDB oracle's generate_series(1, 2000)
+            F.sequence(F.lit(0), F.least(F.size(toks) - 2, F.lit(1999))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))

@@ -239,13 +239,22 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     return votes.select("doc_id", fp.alias("simhash"))
 
 
+# position cap shared with the DuckDB oracles (generate_series(1, 2000)) —
+# the word-gram twin of functions.text.MAX_SHINGLE_POS: bounds per-doc
+# fan-out (prefix sampling for very long docs) and keeps engine/oracle
+# semantics identical by construction.
+MAX_WORD_NGRAM_POS = 2000
+
+
 def word_ngrams(docs: DataFrame, n: int = 13, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, gram) relation of space-joined word n-grams (distinct per doc).
 
     Pure Catalyst (split + transform over an index sequence) — the explode
     is the only row multiplier, same shape as the char-shingle relation."""
     toks = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    idx = F.sequence(
+        F.lit(0), F.least(F.size(toks) - n, F.lit(MAX_WORD_NGRAM_POS - 1))
+    )
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(
