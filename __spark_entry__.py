@@ -1169,6 +1169,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pq_topk"] = emb_pq_topk
 
+    def emb_ivf_pq_topk(spark, sf_dir):
+        # the composed billion-vector shape (FAISS IVFx,PQy): coarse probe
+        # via the inverted file, then asymmetric-distance scoring of CODES
+        # inside the probed lists — no float corpus vector read at query time
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        embs = _embs(spark, sf_dir)
+        return ivf_pq_topk(
+            embs, embs.where(F.col("vec_id") < 8), k=5, n_probe=4
+        )
+
+    q["emb_ivf_pq_topk"] = emb_ivf_pq_topk
+
     def emb_near_dups(spark, sf_dir):
         from debezium_connector_cassandra_spark.operators.similarity import (
             embedding_near_dups,
@@ -2199,6 +2214,64 @@ adc AS (
   SELECT l.query_id, c.vec_id AS neighbor_id, sum(d4) AS d4_sum
   FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
   WHERE l.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY d4_sum, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS int) AS rank,
+       CAST(d4_sum AS double) / 10000.0 AS adc_dist
+FROM ranked WHERE rank <= 5
+"""
+
+    o["emb_ivf_pq_topk"] = _PQ_BASE + f"""
+, cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+),
+ascored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(1.0 - {DOT.format(a="e.embedding", b="c.cv")}, 4) + 0.0 AS dist
+  FROM embeddings e, cents c
+),
+iassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM ascored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qs AS (
+  SELECT q.query_id, c.centroid_id,
+         round(1.0 - {DOT.format(a="q.qv", b="c.cv")}, 4) + 0.0 AS dist
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM qs
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN iassign a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+lut AS (
+  SELECT q.query_id, cb.j, cb.code_id AS code,
+    CAST(round(round(list_sum(list_transform(
+        list_zip(q.qv[cb.j*16+1 : cb.j*16+16], cb.cw),
+        t -> (CAST(t[1] AS double) - CAST(t[2] AS double)) ** 2)), 4) * 10000, 0) AS bigint) AS d4
+  FROM q, cb
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.d4) AS d4_sum
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.j = cd.j AND l.code = cd.code
   GROUP BY 1, 2
 ),
 ranked AS (

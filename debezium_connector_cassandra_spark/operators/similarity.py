@@ -585,3 +585,99 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """The composed billion-vector shape — IVF coarse probe + PQ
+    asymmetric-distance scoring (what FAISS calls IVFx,PQy): a query touches
+    only the n_probe/n_centroids slice of the corpus, and inside that slice
+    scores CODES (m longs/vector) against its broadcast lookup table — no
+    float corpus vector is read at query time at all.
+
+    Plan: assign + encode are corpus-side passes (precomputed and stored at
+    scale — pass them in via ``codes=``/``centroids=``); the query path is
+    probe-selection on the broadcast centroid set, an equi-join on
+    centroid_id, the (sub_j, code) LUT join, and one integer-sum aggregate.
+    Returns (query_id, neighbor_id, rank, adc_dist)."""
+    from pyspark.sql import Window as W
+
+    cents = (
+        centroids
+        if centroids is not None
+        else _centroids(embeddings, n_centroids, id_col, vec_col)
+    )
+    assign = ivf_assign(embeddings, n_centroids, id_col, vec_col, centroids=cents)
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, m=m, n_codes=n_codes, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    enc = codes if codes is not None else pq_encode(
+        embeddings, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    sub = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(F.broadcast(cents)).withColumn(
+        "dist", F.round(F.lit(1.0) - _dot(F.col("q_vec"), F.col("c_vec")), 4) + F.lit(0.0)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    # candidate list: vectors in the probed inverted lists
+    cand = probes.join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), "centroid_id"),
+        "centroid_id",
+    ).where(F.col("neighbor_id") != F.col("query_id")).select("query_id", "neighbor_id")
+    lut = (
+        q.join(F.broadcast(cb))
+        .withColumn(
+            "d4",
+            F.round(
+                F.round(
+                    _l2sq(
+                        F.element_at(
+                            F.array(*[F.slice(F.col("q_vec"), j * sub + 1, sub) for j in range(m)]),
+                            F.col("sub_j") + 1,
+                        ),
+                        F.col("codeword"),
+                    ),
+                    4,
+                )
+                * 10000,
+                0,
+            ).cast("long"),
+        )
+        .select("query_id", "sub_j", F.col("code_id").alias("code"), "d4")
+    )
+    exploded = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode(F.col("codes")).alias("sub_j", "code"),
+    )
+    scored = (
+        cand.join(exploded, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub_j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d4").alias("d4_sum"))
+        .withColumn("adc_dist", F.col("d4_sum").cast("double") / F.lit(10000.0) + F.lit(0.0))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d4_sum").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -48,6 +48,7 @@ def test_no_cartesian_anywhere(spark, queries):
         "docs_dedup_jaccard",
         "emb_ivf_assign",
         "emb_ivf_topk",
+        "emb_ivf_pq_topk",
         "emb_near_dups",
     ):
         plan = _plan(spark, queries[name](spark, SF_DIR))
