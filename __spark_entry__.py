@@ -2306,7 +2306,4 @@ SELECT doc_id, 'text' AS modality, 'synthetic' AS codec,
 FROM documents
 """
 
-    # mm_features: Arrow mapInPandas path — intentionally no SQL oracle
-    # (driver records rows-only check)
-
     return o
