@@ -858,6 +858,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_types_varint"] = cdc_types_varint
 
+    # --- scalar type breadth through full state ---------------------------
+    # uuid/timeuuid, date, time (int64 nanos-of-day), inet, duration
+    # (months/days/nanos triple) and blob cells ride the LWW reduction +
+    # tombstone interplay + finalize — mirroring the reference round-trip
+    # suite's scalar coverage (cassandra-4/src/test/.../
+    # CassandraTypeDeserializerTest.java:75-160: uuid/timeuuid/date/time/
+    # inet/duration/blob deserializers) the way cdc_types_varint mirrors the
+    # varint modes. Every cell carries its TypeMapper-mapped Spark type
+    # (functions/types.py:59-105) and stringifies at the end for the DuckDB
+    # hash match; blob stays BinaryType through the reduction and hex-renders
+    # only in the final projection.
+    def cdc_types_scalar(spark, sf_dir):
+        from debezium_connector_cassandra_spark.functions.types import TypeMapper
+
+        tm = TypeMapper()
+        t_uuid = tm.spark_type("uuid")
+        t_tu = tm.spark_type("timeuuid")
+        t_date = tm.spark_type("date")
+        t_time = tm.spark_type("time")
+        t_inet = tm.spark_type("inet")
+        t_dur = tm.spark_type("duration")
+        t_blob = tm.spark_type("blob")
+
+        flat = _flat_log(spark, sf_dir).withColumn(
+            "h", F.md5(F.col("event_id").cast("string"))
+        ).withColumn(
+            "th", F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string")))
+        )
+        is_up = F.col("op").isin("i", "u")
+        is_r = F.col("op") == "r"
+
+        def uuid_fmt(src, version):
+            return F.expr(
+                f"concat(substr({src},1,8),'-',substr({src},9,4),'-{version}',"
+                f"substr({src},14,3),'-',substr({src},17,4),'-',substr({src},21,12))"
+            )
+
+        uuid_val = uuid_fmt("h", "4")
+        tu_val = uuid_fmt("th", "1")
+        date_val = F.expr("date_add(to_date('2020-01-01'), cast((event_id*3) % 3650 as int))")
+        time_val = F.expr(
+            "((event_id*48271+7) % 86400) * 1000000000 + (event_id*13) % 1000000000"
+        )
+        inet_val = F.expr(
+            "concat('10.', cast(cast((event_id - event_id % 65536)/65536 as bigint) % 256 as string),"
+            " '.', cast(cast((event_id - event_id % 256)/256 as bigint) % 256 as string),"
+            " '.', cast(event_id % 256 as string))"
+        )
+        dur_val = F.struct(
+            F.expr("cast((event_id*5) % 24 as int)").alias("months"),
+            F.expr("cast((event_id*7) % 31 as int)").alias("days"),
+            F.expr("(event_id*2654435761) % 86400000000000").alias("nanos"),
+        )
+        blob_val = F.unhex(F.md5(F.concat(F.lit("b"), F.col("event_id").cast("string"))))
+
+        def cell(val, set_col, dtype):
+            return F.struct(
+                F.when(set_col, val.cast(dtype)).otherwise(F.lit(None).cast(dtype)).alias("value"),
+                F.lit(None).cast("long").alias("deletion_ts"),
+                set_col.alias("set"),
+            )
+
+        cells = F.when(
+            is_up,
+            F.struct(
+                cell(uuid_val, F.col("text_set"), t_uuid).alias("uid"),
+                cell(tu_val, F.col("text_set"), t_tu).alias("tuid"),
+                cell(date_val, F.col("role_set"), t_date).alias("d"),
+                cell(time_val, F.col("tool_set"), t_time).alias("tod"),
+                cell(inet_val, F.col("text_set"), t_inet).alias("addr"),
+                cell(dur_val, F.col("role_set"), t_dur).alias("dur"),
+                cell(blob_val, F.col("tool_set"), t_blob).alias("bin"),
+            ),
+        )
+        bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
+        log = flat.select(
+            "segment_id",
+            "position",
+            "log_partition",
+            "op",
+            "conv_id",
+            F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+            "writetime",
+            cells.alias("cells"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")),
+                    F.col("r_lo"),
+                ),
+            ).alias("range_start"),
+            F.when(
+                is_r,
+                bound(
+                    F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")),
+                    F.col("r_hi"),
+                ),
+            ).alias("range_end"),
+            F.lit(1).alias("schema_version"),
+            F.lit(False).alias("snapshot"),
+        )
+        st = _state_pipeline(
+            log, ["uid", "tuid", "d", "tod", "addr", "dur", "bin"], ("i", "u", "d", "p", "r")
+        )
+        return st.select(
+            "conv_id",
+            "turn_idx",
+            F.col("uid").alias("uuid_s"),
+            F.col("tuid").alias("timeuuid_s"),
+            F.col("d").cast("string").alias("date_s"),
+            F.col("tod").alias("time_ns"),
+            F.col("addr").alias("inet_s"),
+            F.when(
+                F.col("dur").isNotNull(),
+                F.concat(
+                    F.lit("P"), F.col("dur.months").cast("string"),
+                    F.lit("M"), F.col("dur.days").cast("string"),
+                    F.lit("DT"), F.col("dur.nanos").cast("string"), F.lit("N"),
+                ),
+            ).alias("duration_s"),
+            F.hex(F.col("bin")).alias("blob_hex"),
+        )
+
+    q["cdc_types_scalar"] = cdc_types_scalar
+
     # --- D7 expiring cells (TTL) through the streamed log path -------------
     # deletion_ts = writetime + ttl (populateRegularColumns:575-588 — the
     # streamed twin of the snapshot TTL math calculateDeletionTs:342-344);
@@ -1488,6 +1613,68 @@ SELECT conv_id, turn_idx,
        vi_big_s AS vi_precise,
        CAST(vi_small_s AS bigint) AS vi_long,
        vi_big_s AS vi_string
+FROM fin WHERE live OR anycell
+"""
+    )
+
+    _UUID_FMT = (
+        "concat(substr({h},1,8),'-',substr({h},9,4),'-{v}',"
+        "substr({h},14,3),'-',substr({h},17,4),'-',substr({h},21,12))"
+    )
+    o["cdc_types_scalar"] = _duck(
+        f"""
+, ups AS (
+  SELECT *,
+    {_UUID_FMT.format(h="md5(CAST(event_id AS varchar))", v="4")} AS uuid_val,
+    {_UUID_FMT.format(h="md5(concat('t', CAST(event_id AS varchar)))", v="1")} AS tu_val,
+    CAST(DATE '2020-01-01' + CAST((event_id*3) % 3650 AS int) AS varchar) AS date_val,
+    ((event_id*48271+7) % 86400) * 1000000000 + (event_id*13) % 1000000000 AS time_val,
+    concat('10.', CAST(CAST((event_id - event_id % 65536)/65536 AS bigint) % 256 AS varchar),
+           '.', CAST(CAST((event_id - event_id % 256)/256 AS bigint) % 256 AS varchar),
+           '.', CAST(event_id % 256 AS varchar)) AS inet_val,
+    concat('P', CAST((event_id*5) % 24 AS varchar),
+           'M', CAST((event_id*7) % 31 AS varchar),
+           'DT', CAST((event_id*2654435761) % 86400000000000 AS varchar), 'N') AS dur_val,
+    upper(md5(concat('b', CAST(event_id AS varchar)))) AS blob_val
+  FROM m WHERE op IN ('i','u')
+),
+keys AS (SELECT DISTINCT conv_id, turn_idx FROM ups),
+tomb AS (
+  SELECT k.conv_id, k.turn_idx, max(t.writetime) AS tomb_wt
+  FROM keys k JOIN m t ON t.conv_id = k.conv_id
+   AND ((t.op = 'd' AND t.turn_idx = k.turn_idx)
+     OR (t.op = 'p')
+     OR (t.op = 'r'
+         AND (CASE WHEN t.lo_incl THEN k.turn_idx >= t.r_lo ELSE k.turn_idx > t.r_lo END)
+         AND (CASE WHEN t.hi_incl THEN k.turn_idx <= t.r_hi ELSE k.turn_idx < t.r_hi END)))
+  GROUP BY 1, 2
+),
+fin AS (
+  SELECT u.conv_id, u.turn_idx,
+    last(u.uuid_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS uuid_s,
+    last(u.tu_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS tu_s,
+    last(u.date_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.role_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS date_s,
+    last(u.time_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.tool_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS time_s,
+    last(u.inet_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.text_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS inet_s,
+    last(u.dur_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.role_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS dur_s,
+    last(u.blob_val ORDER BY u.writetime, u.segment_id, u.position)
+      FILTER (WHERE u.tool_set AND u.writetime > coalesce(t.tomb_wt, -1)) AS blob_s,
+    bool_or(u.op = 'i' AND u.writetime > coalesce(t.tomb_wt, -1)) AS live,
+    (bool_or(u.text_set AND u.writetime > coalesce(t.tomb_wt, -1))
+     OR bool_or(u.role_set AND u.writetime > coalesce(t.tomb_wt, -1))
+     OR bool_or(u.tool_set AND u.writetime > coalesce(t.tomb_wt, -1))) AS anycell
+  FROM ups u LEFT JOIN tomb t USING (conv_id, turn_idx)
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx,
+       uuid_s, tu_s AS timeuuid_s, date_s, time_s AS time_ns,
+       inet_s, dur_s AS duration_s, blob_s AS blob_hex
 FROM fin WHERE live OR anycell
 """
     )

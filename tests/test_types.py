@@ -268,6 +268,93 @@ def test_lww_array_and_struct_cells_with_delete(spark):
     assert st[0]["pair"] is None
 
 
+def test_lww_scalar_cells_round_trip(spark):
+    """Every remaining scalar family (uuid, date, time-nanos, inet, duration
+    triple, blob) rides the LWW reduction + row-delete interplay and comes
+    back value-identical — the CassandraTypeDeserializerTest.java:75-160
+    round-trip model applied to the state build (see cdc_types_scalar for
+    the full-state oracle twin)."""
+    import datetime
+
+    payload = (
+        ("uid", T.StringType()),
+        ("d", T.DateType()),
+        ("tod", T.LongType()),
+        ("addr", T.StringType()),
+        (
+            "dur",
+            T.StructType(
+                [
+                    T.StructField("months", T.IntegerType()),
+                    T.StructField("days", T.IntegerType()),
+                    T.StructField("nanos", T.LongType()),
+                ]
+            ),
+        ),
+        ("bin", T.BinaryType()),
+    )
+    u1 = "0f8fad5b-d9cb-469f-a165-70867728950e"
+    u2 = "7c9e6679-7425-40de-944b-e07fc1f90ae7"
+    log = _mk_log(
+        spark,
+        payload,
+        [
+            (
+                0, 0, "i", "c1", 1, 100,
+                {
+                    "uid": (u1, True),
+                    "d": (datetime.date(2021, 3, 14), True),
+                    "tod": (3600 * 10**9 + 123, True),
+                    "addr": ("10.1.2.3", True),
+                    "dur": ((2, 10, 5_000_000_000), True),
+                    "bin": (b"\x00\xffcdc", True),
+                },
+            ),
+            # later sparse update: only uuid + duration move
+            (
+                0, 1, "u", "c1", 1, 300,
+                {"uid": (u2, True), "dur": ((0, 1, 42), True)},
+            ),
+            # stale delete between the writes: kills the wt<=150 cells,
+            # the wt=300 cells survive
+            (1, 0, "d", "c1", 1, 150, {}),
+        ],
+    )
+    st = drop_invisible(finalize_state(reduce_events(log))).collect()
+    assert len(st) == 1
+    row = st[0]
+    assert row["uid"] == u2
+    assert row["dur"]["months"] == 0 and row["dur"]["days"] == 1 and row["dur"]["nanos"] == 42
+    # wt=100 cells died to the row tombstone
+    assert row["d"] is None and row["tod"] is None and row["addr"] is None and row["bin"] is None
+
+    # without the delete, every scalar survives byte/value-identical
+    log2 = _mk_log(
+        spark,
+        payload,
+        [
+            (
+                0, 0, "i", "c2", 1, 100,
+                {
+                    "uid": (u1, True),
+                    "d": (datetime.date(2021, 3, 14), True),
+                    "tod": (3600 * 10**9 + 123, True),
+                    "addr": ("10.1.2.3", True),
+                    "dur": ((2, 10, 5_000_000_000), True),
+                    "bin": (b"\x00\xffcdc", True),
+                },
+            ),
+        ],
+    )
+    row2 = drop_invisible(finalize_state(reduce_events(log2))).collect()[0]
+    assert row2["uid"] == u1
+    assert row2["d"] == datetime.date(2021, 3, 14)
+    assert row2["tod"] == 3600 * 10**9 + 123
+    assert row2["addr"] == "10.1.2.3"
+    assert (row2["dur"]["months"], row2["dur"]["days"], row2["dur"]["nanos"]) == (2, 10, 5_000_000_000)
+    assert bytes(row2["bin"]) == b"\x00\xffcdc"
+
+
 def test_full_apply_with_collection_payload(spark, tmp_path):
     """Collections through the FULL lake apply path (reduce -> finalize ->
     COW merge -> read back), two batches with cross-batch LWW conflict."""
