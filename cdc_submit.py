@@ -68,6 +68,11 @@ def main() -> None:
                    help="log carries atomic multi-change records (LOGGED batch analog)")
     r.add_argument("--tracing", action="store_true",
                    help="emit the per-event span relation alongside the changes export")
+    r.add_argument("--gc-grace-us", type=int, default=None,
+                   help="enable tombstone GC: purge stored tombstones below "
+                        "(max applied writetime - this grace); size it from the "
+                        "producer's writetime-inversion bound")
+    r.add_argument("--gc-every-batches", type=int, default=8)
     r.add_argument("--payload-format", choices=["json", "binary"], default="json",
                    help="payload codec for --decode-binary")
 
@@ -162,6 +167,8 @@ def main() -> None:
             payload_format=args.payload_format,
             batch_mutations=args.batch_mutations,
             tracing=args.tracing,
+            gc_grace_us=args.gc_grace_us,
+            gc_every_batches=args.gc_every_batches,
         )
         results = runner.run(max_batches=args.max_batches)
         print(json.dumps({"batches": results}))

@@ -366,3 +366,16 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("wall_ms", T.LongType(), False),
     ]
 )
+
+# Tombstone-GC audit rows (the gc_grace purge accounting; one row per
+# gc() invocation — plans.apply.gc_tombstones). fqtn is "" for the
+# single-table runner.
+GC_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("fqtn", T.StringType(), False),
+        T.StructField("horizon_wt", T.LongType(), False),
+        T.StructField("n_purged", T.LongType(), False),
+        T.StructField("n_kept", T.LongType(), False),
+    ]
+)

@@ -267,10 +267,34 @@ def apply_batch(
             c.unpersist()
 
 
-def gc_tombstones(target: CdcTarget, writetime_horizon: int) -> int:
+def gc_tombstones(target: CdcTarget, writetime_horizon: int) -> dict:
     """Drop stored tombstones older than the horizon (gc_grace analog): once
-    no in-flight segment can carry a writetime <= horizon — the generator
-    bounds writetime inversion to a fixed window — tombstones below it can
-    never affect future batches."""
-    kept = target.tombstones.read().where(F.col("wt") > writetime_horizon)
-    return target.tombstones.overwrite_all(kept)
+    no in-flight segment can carry a writetime <= horizon — the producer
+    bounds writetime inversion to a fixed window (generator:
+    writetime_inversion_window_us) — tombstones below it can never affect
+    future batches. Without this the store is the design's one
+    unbounded-growth relation: every batch's conv-grain tombstones would
+    accumulate forever into the rows_to_tombstones read above.
+
+    Returns ``{"n_purged", "n_kept", "version"}``; a no-op purge skips the
+    rewrite commit entirely."""
+    store = target.tombstones
+    if store.is_empty():
+        return {"n_purged": 0, "n_kept": 0, "version": store.current_version()}
+    counts = (
+        store.read()
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum((F.col("wt") > writetime_horizon).cast("long")), F.lit(0)
+            ).alias("k"),
+        )
+        .collect()[0]
+    )
+    n_kept = int(counts["k"])
+    n_purged = int(counts["n"]) - n_kept
+    if n_purged == 0:
+        return {"n_purged": 0, "n_kept": n_kept, "version": store.current_version()}
+    kept = store.read().where(F.col("wt") > writetime_horizon)
+    version = store.overwrite_all(kept)
+    return {"n_purged": n_purged, "n_kept": n_kept, "version": version}

@@ -555,6 +555,21 @@ def tag_table_kinds(log: DataFrame, period: int = 11) -> DataFrame:
     )
 
 
+def writetime_inversion_window_us(wt_jitter_events: int = 500) -> int:
+    """Upper bound (micros) on how far BELOW the max applied writetime a
+    future event's writetime can land, for logs written by this generator.
+
+    From the wt construction above (wt = BASE + (gid + jitter)*1024 +
+    gid%1024, |jitter| <= J): once an event with writetime W has been
+    applied, any not-yet-seen gid' > gid has wt' > W - (2*J + 2)*1024.
+    Tombstones older than ``max_applied_wt - this window`` can therefore
+    never be out-raced by a late upsert — the safe ``gc_grace_us`` for
+    CdcRunner/MultiTableRunner tombstone GC (Cassandra's gc_grace_seconds
+    analog, sized from the producer's bounded clock skew instead of a
+    fixed ten days)."""
+    return (2 * int(wt_jitter_events) + 2) * 1024
+
+
 def write_mutation_log(df: DataFrame, path: str) -> None:
     """Persist partitioned by segment_id — the commit-log directory analog.
 

@@ -49,8 +49,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..lake.table import LakeTable
-from ..model import LINEAGE_SCHEMA, METRICS_SCHEMA, OFFSETS_SCHEMA
-from ..plans.apply import CdcTarget, apply_batch
+from ..model import GC_SCHEMA, LINEAGE_SCHEMA, METRICS_SCHEMA, OFFSETS_SCHEMA
+from ..plans.apply import CdcTarget, apply_batch, gc_tombstones
 from ..sources.generator import read_mutation_log
 from ..sources.log_scan import discover_segments
 from ..functions.decode import with_envelope
@@ -88,6 +88,8 @@ class CdcRunner:
         n_queues: int = 8,
         batch_mutations: bool = False,
         tracing: bool = False,
+        gc_grace_us: int | None = None,
+        gc_every_batches: int = 8,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -148,9 +150,22 @@ class CdcRunner:
             self.target = CdcTarget.open(spark, target_path)
         else:
             self.target = CdcTarget.create(spark, target_path, n_buckets=n_buckets)
+        # tombstone GC (Cassandra gc_grace analog): when set, run() purges
+        # stored tombstones below (max applied writetime - gc_grace_us) every
+        # gc_every_batches batches. Size the grace from the producer's
+        # bounded writetime-inversion window (for the bundled generator:
+        # sources.generator.writetime_inversion_window_us) — purging inside
+        # that window could let a late out-of-order upsert beat a purged
+        # delete, so the horizon must trail it.
+        if gc_grace_us is not None and gc_grace_us < 0:
+            raise ValueError("gc_grace_us must be >= 0")
+        self.gc_grace_us = gc_grace_us
+        self.gc_every_batches = max(int(gc_every_batches), 1)
+        self._max_writetime: int | None = None
         self.offsets = self._bookkeeping("_offsets", OFFSETS_SCHEMA)
         self.lineage = self._bookkeeping("_lineage", LINEAGE_SCHEMA)
         self.metrics = self._bookkeeping("_metrics", METRICS_SCHEMA)
+        self.gc_log = self._bookkeeping("_gc", GC_SCHEMA) if gc_grace_us is not None else None
         # superseded offsets are dead weight — compaction keeps only the
         # per-partition watermark (the reference's offset FILE likewise holds
         # only current values, FileOffsetWriter.java:96-119)
@@ -183,8 +198,20 @@ class CdcRunner:
         base = BATCH_LOG_SCHEMA if self.batch_mutations else None
         try:
             on_disk = {f.name for f in self.spark.read.parquet(self.log_path).schema.fields}
-        except Exception:
-            return base  # log not written yet — canonical schema
+        except Exception as e:
+            # ONLY the log-not-written-yet case may fall back silently: a
+            # transient IO/permission error here would otherwise disable the
+            # table_kind auto-include guard this probe exists to enforce
+            from pyspark.errors import AnalysisException
+
+            msg = str(e)
+            if isinstance(e, AnalysisException) and (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
+                return base  # log not written yet — canonical schema
+            raise
         if "table_kind" not in on_disk:
             return base
         import warnings
@@ -344,6 +371,7 @@ class CdcRunner:
             .agg(
                 F.count("*").alias("n"),
                 F.max("position").alias("max_pos"),
+                F.max("writetime").alias("max_wt"),
                 F.sum(is_unsup.cast("long")).alias("n_unsup"),
                 *[
                     F.sum(((F.col("op") == k) & ~is_unsup).cast("long")).alias(f"n_{k}")
@@ -353,6 +381,12 @@ class CdcRunner:
             .collect()
         )
         n_decoded = sum(r["n"] for r in seg_rows)
+        # applied-writetime high watermark — the tombstone-GC horizon input
+        for r in seg_rows:
+            if r["max_wt"] is not None and (
+                self._max_writetime is None or r["max_wt"] > self._max_writetime
+            ):
+                self._max_writetime = r["max_wt"]
         n_skipped = sum(r["n_unsup"] for r in seg_rows)
         batch_stats = {"n": n_decoded - n_skipped}
         batch_stats.update({k: sum(r[f"n_{k}"] for r in seg_rows) for k in _KINDS})
@@ -573,6 +607,12 @@ class CdcRunner:
                 "n_skipped": row["n_skipped"],
                 "last_batch_wall_ms": row["last"]["wall_ms"],
             }
+        if self.gc_log is not None and not self.gc_log.is_empty():
+            totals["n_tombstones_purged"] = (
+                self.gc_log.read().agg(F.sum("n_purged")).collect()[0][0] or 0
+            )
+        else:
+            totals["n_tombstones_purged"] = 0
         return {
             **totals,
             "n_segments_done": len(self._done),
@@ -580,10 +620,39 @@ class CdcRunner:
             "per_partition": per_partition,
         }
 
+    # -- tombstone GC (gc_grace) ---------------------------------------------
+    def gc(self) -> dict:
+        """Purge stored tombstones no future event can need (gc_grace): the
+        horizon is the max APPLIED writetime minus the configured grace — by
+        the producer's bounded-inversion contract, every not-yet-applied
+        event's writetime lands above it, so purged tombstones can never be
+        out-raced by a late upsert. One audit row per invocation lands in
+        the ``_gc`` bookkeeping table."""
+        if self.gc_grace_us is None:
+            raise ValueError("tombstone GC is disabled; pass gc_grace_us to enable")
+        if self._max_writetime is None:
+            return {"n_purged": 0, "n_kept": 0, "horizon_wt": None}
+        horizon = int(self._max_writetime) - int(self.gc_grace_us)
+        res = gc_tombstones(self.target, horizon)
+        self.gc_log.append_small(
+            [
+                {
+                    "batch_id": int(time.time() * 1000),
+                    "fqtn": "",
+                    "horizon_wt": horizon,
+                    "n_purged": res["n_purged"],
+                    "n_kept": res["n_kept"],
+                }
+            ]
+        )
+        return {"n_purged": res["n_purged"], "n_kept": res["n_kept"], "horizon_wt": horizon}
+
     # -- the loop -----------------------------------------------------------
     def run(self, max_batches: int | None = None) -> list[dict]:
         """Drain pending segments in segment order, segments_per_batch at a
-        time (Trigger.AvailableNow-style)."""
+        time (Trigger.AvailableNow-style). With ``gc_grace_us`` set, stored
+        tombstones are GC'd every ``gc_every_batches`` batches, so the store
+        stays bounded over an arbitrarily long run."""
         results = []
         n = 0
         while True:
@@ -593,6 +662,8 @@ class CdcRunner:
             batch = pending[: self.segments_per_batch]
             results.append(self.run_batch(batch))
             n += 1
+            if self.gc_grace_us is not None and n % self.gc_every_batches == 0:
+                self.gc()
         return results
 
     def reprocess(self, segment_ids: list[int]) -> dict:
