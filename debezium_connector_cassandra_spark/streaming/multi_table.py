@@ -36,13 +36,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..lake.table import LakeTable
 from ..model import (
+    GC_SCHEMA,
     METRICS_SCHEMA,
     MT_LINEAGE_SCHEMA,
     MT_OFFSETS_SCHEMA,
     MULTI_TABLE_LOG_SCHEMA,
     TableSpec,
 )
-from ..plans.apply import CdcTarget, apply_batch
+from ..plans.apply import CdcTarget, apply_batch, gc_tombstones
 from ..sources.log_scan import discover_segments
 
 _KINDS = ("d", "p", "r")
@@ -71,44 +72,99 @@ def decode_table_payload(df: DataFrame, spec: TableSpec) -> DataFrame:
 def decode_table_payload_arrow(df: DataFrame, spec: TableSpec) -> DataFrame:
     """Arrow pandas-UDF twin of decode_table_payload for ANY TableSpec —
     the vectorized-UDF decode the north star mandates, generalized from the
-    fixed-schema `functions.decode.decode_payload_arrow`. One Python call
-    per Arrow record batch; scalar leaf values parse from the JSON payload
-    into the spec's cell layout (pandas nested dicts map onto the struct
-    type via Arrow). Tests assert bit-parity with the JVM path."""
-    import json as _json
+    fixed-schema `functions.decode.decode_payload_arrow`.
 
+    Fully vectorized (the flattened-column technique the binary codec uses,
+    functions/binary_codec.py): the whole Arrow batch's payloads join into
+    ONE newline-delimited buffer parsed by a single ``pyarrow.json``
+    C++ call against the spec's explicit cell schema — no per-row
+    ``json.loads`` and no per-row Python dict assembly; each decoded cell
+    column leaves the UDF as an Arrow StructArray-backed pandas series.
+    Timestamp cell values parse as ISO8601 strings and convert with one
+    vectorized ``pd.to_datetime`` per column. Tests assert bit-parity with
+    the JVM path (test_arrow_decode_matches_jvm_per_spec)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
     from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.types import to_arrow_type
 
     names = [n for n, _ in spec.payload]
-    ts_cols = {
-        n for n, t in spec.payload if t.simpleString() == "timestamp"
-    }
+    ts_cols = {n for n, t in spec.payload if t.simpleString() == "timestamp"}
+    from pyspark.sql import types as _T
+
+    if any(isinstance(t, _T.MapType) for _, t in spec.payload):
+        # Arrow's JSON parser has no map-type support; map cells ride the
+        # default JVM from_json path (decode_table_payload), which is also
+        # the production hot path
+        raise ValueError(
+            "decode_table_payload_arrow does not support map-typed cells; "
+            "use decode_table_payload (the JVM from_json default)"
+        )
+
+    def _cell_schema(parse: bool) -> pa.Schema:
+        """Arrow cell layout; with ``parse=True`` timestamp values stay
+        strings (pd.to_datetime handles the offset suffix afterwards)."""
+        fields = []
+        for n, t in spec.payload:
+            if n in ts_cols:
+                # parse as ISO string, emit naive UTC micros (the JVM path's
+                # semantics after session-tz normalization)
+                vt = pa.string() if parse else pa.timestamp("us")
+            else:
+                vt = to_arrow_type(t)
+            fields.append(
+                pa.field(
+                    n,
+                    pa.struct(
+                        [
+                            pa.field("value", vt),
+                            pa.field("deletion_ts", pa.int64()),
+                            pa.field("set", pa.bool_()),
+                        ]
+                    ),
+                )
+            )
+        return pa.schema(fields)
+
+    parse_schema = _cell_schema(parse=True)
+    out_types = {n: f.type for n, f in zip(names, _cell_schema(parse=False))}
+
+    def _finalize(name: str, arr: pa.StructArray) -> pd.Series:
+        value = arr.field("value")
+        if name in ts_cols:
+            ts = pd.to_datetime(value.to_pandas(), format="ISO8601", utc=True)
+            value = pa.Array.from_pandas(
+                ts.dt.tz_localize(None), type=pa.timestamp("us")
+            )
+        set_ = pc.fill_null(arr.field("set"), False)
+        rebuilt = pa.StructArray.from_arrays(
+            [value, arr.field("deletion_ts"), set_],
+            fields=list(out_types[name]),
+            mask=arr.is_null(),
+        )
+        # Spark's pandas serializer iterates struct rows expecting
+        # dict-or-None; hand it Arrow's C-level dict materialization
+        return rebuilt.to_pandas()
 
     @pandas_udf(spec.cells_type())
     def _decode(payload: pd.Series) -> pd.DataFrame:
-        def parse(b):
-            if b is None:
-                return {n: None for n in names}
-            d = _json.loads(bytes(b).decode("utf-8"))
-            out = {}
-            for n in names:
-                c = d.get(n)
-                if c is None:
-                    out[n] = None
-                    continue
-                v = c.get("value")
-                if n in ts_cols and v is not None:
-                    t = pd.Timestamp(v)
-                    v = t.tz_localize(None) if t.tzinfo is None else t.tz_convert("UTC").tz_localize(None)
-                out[n] = {
-                    "value": v,
-                    "deletion_ts": c.get("deletion_ts"),
-                    "set": bool(c.get("set", False)),
-                }
-            return out
-
-        parsed = payload.map(parse)
-        return pd.DataFrame({n: parsed.map(lambda d, n=n: d[n]) for n in names})
+        if len(payload) == 0:
+            return pd.DataFrame({n: pd.Series([], dtype=object) for n in names})
+        # one buffer, one C++ parse for the whole batch (NULL payload rows
+        # parse as {} -> all-null cells; the outer mask nulls the struct)
+        buf = b"\n".join(b"{}" if b is None else bytes(b) for b in payload)
+        tab = pj.read_json(
+            io.BytesIO(buf),
+            parse_options=pj.ParseOptions(
+                explicit_schema=parse_schema, unexpected_field_behavior="ignore"
+            ),
+        )
+        return pd.DataFrame(
+            {n: _finalize(n, tab.column(n).combine_chunks()) for n in names}
+        )
 
     # a NULL payload (tombstone op) must decode to a NULL struct, matching
     # from_json(NULL); the UDF can only emit per-field nulls, so mask here
@@ -134,6 +190,8 @@ class MultiTableRunner:
         tombstones_on_delete: bool = True,
         payload_format: str = "json",
         batch_mutations: bool = False,
+        gc_grace_us: int | None = None,
+        gc_every_batches: int = 8,
     ):
         """``table_changes``: DDL ledger of table lifecycle events —
         ``(effective_segment, "create", TableSpec)`` /
@@ -162,9 +220,17 @@ class MultiTableRunner:
         self.targets: dict[str, CdcTarget] = {}
         for fqtn, spec in self.specs.items():
             self._ensure_target(fqtn, spec)
+        # tombstone GC (gc_grace analog, same contract as CdcRunner): horizon
+        # = max applied writetime - grace, swept across EVERY table's store
+        if gc_grace_us is not None and gc_grace_us < 0:
+            raise ValueError("gc_grace_us must be >= 0")
+        self.gc_grace_us = gc_grace_us
+        self.gc_every_batches = max(int(gc_every_batches), 1)
+        self._max_writetime: int | None = None
         self.offsets = self._bookkeeping("_offsets", MT_OFFSETS_SCHEMA)
         self.lineage = self._bookkeeping("_lineage", MT_LINEAGE_SCHEMA)
         self.metrics = self._bookkeeping("_metrics", METRICS_SCHEMA)
+        self.gc_log = self._bookkeeping("_gc", GC_SCHEMA) if gc_grace_us is not None else None
         self.offsets.compaction_transform = _prune_mt_offsets
         self._done = self._load_done()
         from ..sources.snapshot import SnapshotMetrics
@@ -305,6 +371,7 @@ class MultiTableRunner:
             .agg(
                 F.count("*").alias("n"),
                 F.max("position").alias("max_pos"),
+                F.max("writetime").alias("max_wt"),
                 *[
                     F.sum((F.col("op") == k).cast("long")).alias(f"n_{k}")
                     for k in _KINDS
@@ -312,6 +379,12 @@ class MultiTableRunner:
             )
             .collect()
         )
+        # applied-writetime high watermark — the tombstone-GC horizon input
+        for r in seg_rows:
+            if r["max_wt"] is not None and (
+                self._max_writetime is None or r["max_wt"] > self._max_writetime
+            ):
+                self._max_writetime = r["max_wt"]
         by_table: dict[str, list] = {f: [] for f in self.specs}
         for r in seg_rows:
             fqtn = f"{r['keyspace']}.{r['table']}"
@@ -436,6 +509,34 @@ class MultiTableRunner:
             "tables": results,
         }
 
+    # -- tombstone GC (gc_grace, swept across every table) -------------------
+    def gc(self) -> dict:
+        """Purge each table's stored tombstones below (max applied writetime
+        - gc_grace_us); one ``_gc`` audit row per table per invocation. Same
+        safety argument as CdcRunner.gc()."""
+        if self.gc_grace_us is None:
+            raise ValueError("tombstone GC is disabled; pass gc_grace_us to enable")
+        if self._max_writetime is None:
+            return {"n_purged": 0, "tables": {}}
+        horizon = int(self._max_writetime) - int(self.gc_grace_us)
+        batch_id = int(time.time() * 1000)
+        per_table, audit_rows, total = {}, [], 0
+        for fqtn, target in self.targets.items():
+            res = gc_tombstones(target, horizon)
+            per_table[fqtn] = res["n_purged"]
+            total += res["n_purged"]
+            audit_rows.append(
+                {
+                    "batch_id": batch_id,
+                    "fqtn": fqtn,
+                    "horizon_wt": horizon,
+                    "n_purged": res["n_purged"],
+                    "n_kept": res["n_kept"],
+                }
+            )
+        self.gc_log.append_small(audit_rows)
+        return {"n_purged": total, "horizon_wt": horizon, "tables": per_table}
+
     # -- the loop -----------------------------------------------------------
     def run(self, max_batches: int | None = None) -> list[dict]:
         results = []
@@ -446,6 +547,8 @@ class MultiTableRunner:
                 break
             results.append(self.run_batch(pending[: self.segments_per_batch]))
             n += 1
+            if self.gc_grace_us is not None and n % self.gc_every_batches == 0:
+                self.gc()
         return results
 
     # -- user-facing reads ----------------------------------------------------
