@@ -31,27 +31,50 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..lake.table import LakeTable
 from ..model import MUTATION_LOG_SCHEMA
 from ..plans.apply import apply_batch
 from .runner import CdcRunner
 
+# Persistent range-marker context (the RangeTombstoneContext.java:20-40
+# analog): every op='r' bound marker a micro-batch delivers lands here,
+# pairing happens over the ACCUMULATED set — so a start/end pair straddling
+# micro-batches (or delivered out of order across part files) still pairs.
+RANGE_CTX_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("position", T.LongType(), False),
+        T.StructField("log_partition", T.IntegerType(), False),
+        T.StructField("writetime", T.LongType(), False),
+        T.StructField("is_start", T.BooleanType(), False),
+        T.StructField("method", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("schema_version", T.IntegerType(), False),
+    ]
+)
+
 
 class CdcStream:
     def __init__(self, runner: CdcRunner, max_files_per_trigger: int | None = None):
-        if getattr(runner, "unpaired_range_markers", False):
-            # marker pairing needs a segment's full row set in one pass; the
-            # file source delivers arbitrary file subsets per micro-batch, so
-            # a start/end pair can straddle two batches and silently drop —
-            # refuse instead (use the batch front-end for marker logs)
-            raise ValueError(
-                "unpaired_range_markers is incompatible with the streaming "
-                "front-end (bound markers can straddle micro-batches); use "
-                "CdcRunner.run()"
-            )
         self.runner = runner
         self.max_files_per_trigger = max_files_per_trigger
+        # D9 streaming form: markers are deferred into a durable context and
+        # paired in finalize_ranges() — pairing inside a micro-batch would
+        # mis-pair whenever the file source splits a conversation's markers
+        # across batches in arbitrary order (see that method's docstring)
+        self._range_ctx: LakeTable | None = None
+        if getattr(runner, "unpaired_range_markers", False):
+            path = f"{runner.target_path}/_range_ctx"
+            self._range_ctx = (
+                LakeTable(runner.spark, path)
+                if LakeTable.exists(path)
+                else LakeTable.create(
+                    runner.spark, path, RANGE_CTX_SCHEMA, key_col="conv_id", n_buckets=1
+                )
+            )
 
     def _source(self) -> DataFrame:
         # mirror the runner's log configuration: an explicitly configured
@@ -102,6 +125,30 @@ class CdcStream:
 
             supported, _ = split_unsupported(batch_df)
             batch_df = supported.drop("table_kind")
+        if self._range_ctx is not None:
+            # defer every bound marker into the durable context (pairing is
+            # NOT safe inside a micro-batch); the rest of the batch applies
+            # now. Context lands BEFORE the apply — a crash-replayed batch
+            # just appends duplicates, which finalize_ranges dedupes.
+            markers = batch_df.where(F.col("op") == "r")
+            self._range_ctx.append(
+                markers.select(
+                    "conv_id",
+                    "segment_id",
+                    "position",
+                    "log_partition",
+                    "writetime",
+                    F.col("range_start").isNotNull().alias("is_start"),
+                    F.coalesce(
+                        F.col("range_start.method"), F.col("range_end.method")
+                    ).alias("method"),
+                    F.coalesce(
+                        F.col("range_start.turn_idx"), F.col("range_end.turn_idx")
+                    ).alias("turn_idx"),
+                    "schema_version",
+                )
+            )
+            batch_df = batch_df.where(F.col("op") != "r")
         if self.runner.decode_binary:
             # same codec selection as the batch front-end (json | binary)
             batch_df = self.runner._decode_payload(batch_df)
@@ -141,6 +188,101 @@ class CdcStream:
             ]
         )
 
+    def finalize_ranges(self, settle_below: int | None = None) -> dict:
+        """Pair the accumulated bound markers and apply the reconstructed
+        range tombstones (the RangeTombstoneContext drain).
+
+        Why pairing is deferred here instead of running per micro-batch: the
+        reference pairs start/end markers as it reads a commit log IN ORDER
+        (RangeTombstoneContext.java:20-40) — adjacency in arrival order IS
+        adjacency in log order. Spark's file source delivers arbitrary part-
+        file subsets per trigger, so a batch can see start S1 and end E2
+        while E1/S2 are still undelivered; pairing those now would emit the
+        WRONG range (S1,E2) — and an applied tombstone cannot be retracted.
+        Pairing over the accumulated context in (segment, position) order is
+        only safe once no marker can still arrive BETWEEN the members of a
+        candidate pair:
+
+        - after an ``availableNow`` drain the context is complete —
+          ``settle_below=None`` pairs everything (run_available does this);
+        - a continuously tailing job passes ``settle_below`` = the highest
+          segment the source can still be delivering minus its reordering
+          bound — the file-delivery analog of an event-time watermark;
+          markers above it stay in the context for the next call.
+
+        Unconsumed markers (dangling starts / orphan ends) stay in the
+        context; on a final drain they are the reference's log-and-skip
+        leftovers. Re-invocation is idempotent (re-applying a paired range
+        is a no-op in the merge)."""
+        if self._range_ctx is None:
+            raise ValueError("finalize_ranges requires unpaired_range_markers=True")
+        from pyspark.sql import Window as W
+
+        ctx = self._range_ctx.read().dropDuplicates(
+            ["conv_id", "segment_id", "position"]
+        )
+        if settle_below is not None:
+            later = ctx.where(F.col("segment_id") > settle_below)
+            ctx = ctx.where(F.col("segment_id") <= settle_below)
+        else:
+            later = None
+        w = W.partitionBy("conv_id").orderBy("segment_id", "position")
+        m = (
+            ctx.withColumn("_prev_is_start", F.lag("is_start").over(w))
+            .withColumn("_prev_method", F.lag("method").over(w))
+            .withColumn("_prev_turn", F.lag("turn_idx").over(w))
+            .withColumn("_next_is_start", F.lead("is_start").over(w))
+        )
+        is_paired_end = (~F.col("is_start")) & F.coalesce(
+            F.col("_prev_is_start"), F.lit(False)
+        )
+        is_consumed_start = F.col("is_start") & ~F.coalesce(
+            F.col("_next_is_start"), F.lit(True)
+        )
+        m = m.cache()
+        try:
+            schema = self.runner.log_schema
+            if not (
+                isinstance(schema, T.StructType) and "cells" in schema.fieldNames()
+            ):
+                schema = MUTATION_LOG_SCHEMA
+            cells_t = schema["cells"].dataType
+            # paired event keeps the END marker's (wt, segment, position)
+            # identity — same contract as operators.tombstones.pair_range_markers
+            paired = m.where(is_paired_end).select(
+                "segment_id",
+                "position",
+                "log_partition",
+                F.lit("r").alias("op"),
+                "conv_id",
+                F.lit(None).cast("int").alias("turn_idx"),
+                "writetime",
+                F.lit(None).cast(cells_t).alias("cells"),
+                F.struct(
+                    F.col("_prev_method").alias("method"),
+                    F.col("_prev_turn").alias("turn_idx"),
+                ).alias("range_start"),
+                F.struct(
+                    F.col("method").alias("method"),
+                    F.col("turn_idx").alias("turn_idx"),
+                ).alias("range_end"),
+                "schema_version",
+                F.lit(False).alias("snapshot"),
+            )
+            n_paired = paired.count()
+            if n_paired:
+                apply_batch(self.runner.target, paired)
+            dangling = m.where(~(is_paired_end | is_consumed_start)).select(
+                *[f.name for f in RANGE_CTX_SCHEMA.fields]
+            )
+            if later is not None:
+                dangling = dangling.unionByName(later)
+            self._range_ctx.overwrite_all(dangling)
+            n_dangling = self._range_ctx.read().count()
+        finally:
+            m.unpersist()
+        return {"n_paired": n_paired, "n_dangling": n_dangling}
+
     def start(self, checkpoint_dir: str, available_now: bool = True):
         writer = (
             self._source()
@@ -153,8 +295,11 @@ class CdcStream:
 
     def run_available(self, checkpoint_dir: str, timeout_sec: int = 600) -> None:
         """Drain all currently-available segments and stop (the streaming
-        twin of CdcRunner.run())."""
+        twin of CdcRunner.run()). With unpaired_range_markers, the drained
+        context is complete, so the deferred markers pair and apply here."""
         q = self.start(checkpoint_dir, available_now=True)
         q.awaitTermination(timeout_sec)
         if q.isActive:
             q.stop()
+        if self._range_ctx is not None:
+            self.finalize_ranges()
