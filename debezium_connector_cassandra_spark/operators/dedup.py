@@ -12,22 +12,37 @@ are pruned, the analog of skipping whole files).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 EVENT_IDENTITY = ["conv_id", "turn_idx", "segment_id", "position", "writetime"]
+
+# columns whose CONTENT distinguishes two batch members that share the full
+# EVENT_IDENTITY (same key, same shared batch offset, both inheriting the
+# batch default writetime — no explicit USING TIMESTAMP)
+_CONTENT_COLS = ("op", "cells", "range_start", "range_end")
 
 
 def dedup_events(df: DataFrame) -> DataFrame:
     """Drop exact duplicate deliveries of the same mutation.
 
-    Identity = (key, segment, position, writetime): the reference's offset
-    skip-check works at (mutation, commit-log position) grain; writetime
-    joins the identity because a LOGGED BATCH explodes several changes at
-    ONE shared position (handleMutation:255-272) — batch members touching
-    the same key remain distinct by their explicit USING TIMESTAMP, while an
-    exact duplicate delivery (same event, same writetime) still collapses.
-    ``dropDuplicates`` is a hash aggregation with map-side partial combine —
-    duplicates collapse before the shuffle, so a duplicate-heavy stream does
-    not inflate shuffle volume.
+    Identity = (key, segment, position, writetime) PLUS a content hash: the
+    reference's offset skip-check works at (mutation, commit-log position)
+    grain; writetime joins the identity because a LOGGED BATCH explodes
+    several changes at ONE shared position (handleMutation:255-272) — batch
+    members touching the same key remain distinct by their explicit USING
+    TIMESTAMP. Two same-key members that BOTH inherit the batch default
+    writetime are identity-equal while carrying different cell assignments
+    (the reference merges their PartitionUpdates rather than dropping one),
+    so the content hash keeps them apart; an exact duplicate delivery
+    (identical row) still collapses. ``dropDuplicates`` is a hash
+    aggregation with map-side partial combine — duplicates collapse before
+    the shuffle, so a duplicate-heavy stream does not inflate shuffle
+    volume.
     """
-    return df.dropDuplicates(EVENT_IDENTITY)
+    content_cols = [c for c in _CONTENT_COLS if c in df.columns]
+    content = F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols])))
+    return (
+        df.withColumn("_content", content)
+        .dropDuplicates(EVENT_IDENTITY + ["_content"])
+        .drop("_content")
+    )

@@ -43,9 +43,20 @@ def trace_spans(envelopes: DataFrame, read_ts_ms: int) -> DataFrame:
     - debezium-read: start_ms = ``read_ts_ms`` (processing time), parent =
       the write span, lag_ms = read_ts_ms - ts_ms (the CDC lag observable).
 
-    trace_id = md5 of (file, position, key) — 16 bytes, the OTel trace-id
-    width; span ids = first 8 bytes of salted md5. All deterministic, so
-    replays emit identical spans (idempotent trace sink).
+    trace_id = md5 of (file, position, key, envelope_op, tombstone-flag,
+    ts_ms) — 16 bytes, the OTel trace-id width; span ids = first 8 bytes of
+    salted md5. All deterministic, so replays emit identical spans
+    (idempotent trace sink). The identity is wider than (file, position,
+    key) because two DISTINCT emitted records can share that triple:
+    batch-exploded changes share one position (several members, one offset —
+    handleMutation:255-272, distinguished by their member writetime ->
+    ts_ms, or by op/key), and a delete's tombstone record lands at
+    position+1, which can collide with a neighboring record when positions
+    are not strided (distinguished by is_tombstone_record + envelope_op).
+    Known residual: two same-key batch members carrying the same op AND both
+    inheriting the batch default writetime differ only in cell content and
+    would still share ids — emit explicit member writetimes (USING
+    TIMESTAMP) where that matters.
     """
     ident = F.concat_ws(
         ":",
@@ -53,6 +64,9 @@ def trace_spans(envelopes: DataFrame, read_ts_ms: int) -> DataFrame:
         F.col("position").cast("string"),
         F.col("conv_id"),
         F.coalesce(F.col("turn_idx").cast("string"), F.lit("")),
+        F.col("envelope_op"),
+        F.col("is_tombstone_record").cast("string"),
+        F.col("ts_ms").cast("string"),
     )
     trace_id = F.md5(ident)
     write_span = F.substring(F.md5(F.concat(trace_id, F.lit("w"))), 1, 16)

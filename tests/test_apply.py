@@ -74,6 +74,25 @@ def test_duplicate_delivery(spark, tmp_path):
     run_and_compare(spark, tmp_path, log)
 
 
+def test_strict_dedup_keeps_identity_equal_batch_members(spark):
+    """Two logged-batch members at the same key that BOTH inherited the batch
+    default writetime are identity-equal (same conv/turn/segment/position/wt)
+    but carry DIFFERENT cell assignments — the reference merges their
+    PartitionUpdates, so strict dedup must keep both; an exact duplicate
+    delivery (identical row) still collapses."""
+    from debezium_connector_cassandra_spark.operators.dedup import dedup_events
+
+    rows = [
+        (0, 0, 0, "u", "c1", 1, 500, ("user", None, None, None)),
+        (0, 0, 0, "u", "c1", 1, 500, (None, "hello", None, None)),
+        (0, 0, 0, "u", "c1", 1, 500, (None, "hello", None, None)),  # exact dup
+    ]
+    out = dedup_events(_manual_log(spark, rows)).collect()
+    assert len(out) == 2
+    kept = {(r["cells"]["role"]["value"], r["cells"]["text"]["value"]) for r in out}
+    assert kept == {("user", None), (None, "hello")}
+
+
 def test_idempotent_reapply(spark, tmp_path):
     # exactly-once via idempotent replay: applying the same batch twice
     # leaves the state identical (R8 error-reprocess path relies on this)
