@@ -48,6 +48,8 @@ HEADLINE_QUERIES = [
     "cdc_offsets_checkpoint",
     # round 4: logged-batch explode + full state (the BatchTest analog)
     "cdc_batch_mutations",
+    # round 5: every remaining scalar family through the full state build
+    "cdc_types_scalar",
 ]
 
 

@@ -92,6 +92,37 @@ def test_udt_mapping():
     )
 
 
+# Per-version provider registries. cassandra-4 and cassandra-5 register the
+# IDENTICAL deserializer list (Cassandra4TypeProvider.java:79-105 vs
+# Cassandra5TypeProvider.java — the diff is the class name only); dse differs
+# in ONE entry: date registers as a BasicTypeDeserializer with DATE_TYPE
+# instead of SimpleDateDeserializer (DseTypeProvider.java) — the logical type
+# is a date either way. TypeMapper is therefore version-agnostic: one
+# registry serves all three providers.
+_PROVIDER_REGISTRY = [
+    # BasicTypeDeserializer rows
+    "boolean", "varchar", "ascii", "tinyint", "blob", "float", "double",
+    "int", "smallint", "bigint", "time", "counter",
+    # logical-type deserializers
+    "date", "inet", "timestamp", "uuid", "timeuuid", "decimal", "varint",
+    "duration",
+    # collection / struct deserializers (composed)
+    "list<int>", "set<text>", "map<text, bigint>", "tuple<int, text>",
+]
+
+
+@pytest.mark.parametrize("provider", ["cassandra-4", "cassandra-5", "dse"])
+def test_provider_registry_maps_fully(provider):
+    """Every type a version provider registers resolves through TypeMapper
+    (plus the UDT path the UserDefinedTypeDeserializer covers)."""
+    tm = TypeMapper(udts={"udt1": (("f", "text"),)})
+    for name in _PROVIDER_REGISTRY + ["udt1", "frozen<udt1>"]:
+        assert tm.spark_type(name) is not None, f"{provider}: {name} unmapped"
+    # the date entry both SimpleDateDeserializer (c4/c5) and the dse
+    # BasicTypeDeserializer(DATE_TYPE) land on
+    assert tm.spark_type("date") == T.DateType()
+
+
 def test_unknown_type_raises():
     with pytest.raises(ValueError):
         TypeMapper().spark_type("wibble")
