@@ -58,14 +58,33 @@ RANGE_CTX_SCHEMA = T.StructType(
 
 
 class CdcStream:
-    def __init__(self, runner: CdcRunner, max_files_per_trigger: int | None = None):
+    def __init__(
+        self,
+        runner: CdcRunner,
+        max_files_per_trigger: int | None = None,
+        settle_lag_segments: int | None = None,
+    ):
+        """``settle_lag_segments``: continuous-tailing marker watermark —
+        when set (with unpaired_range_markers), every micro-batch finalizes
+        context markers in segments <= (max segment seen - this lag), so a
+        never-ending stream still applies range deletes without waiting for
+        a drain. The caller asserts the source reorders file delivery by at
+        most this many segments (the file-delivery analog of an event-time
+        watermark bound); an availableNow drain still finalizes everything
+        at the end regardless."""
         self.runner = runner
         self.max_files_per_trigger = max_files_per_trigger
+        self.settle_lag_segments = settle_lag_segments
+        self._max_segment_seen: int | None = None
         # D9 streaming form: markers are deferred into a durable context and
         # paired in finalize_ranges() — pairing inside a micro-batch would
         # mis-pair whenever the file source splits a conversation's markers
         # across batches in arbitrary order (see that method's docstring)
         self._range_ctx: LakeTable | None = None
+        if settle_lag_segments is not None and not getattr(
+            runner, "unpaired_range_markers", False
+        ):
+            raise ValueError("settle_lag_segments requires unpaired_range_markers=True")
         if getattr(runner, "unpaired_range_markers", False):
             path = f"{runner.target_path}/_range_ctx"
             self._range_ctx = (
@@ -149,6 +168,15 @@ class CdcStream:
                 )
             )
             batch_df = batch_df.where(F.col("op") != "r")
+            for r in seg_rows:
+                if self._max_segment_seen is None or r["segment_id"] > self._max_segment_seen:
+                    self._max_segment_seen = r["segment_id"]
+            if self.settle_lag_segments is not None and self._max_segment_seen is not None:
+                # continuous-mode watermark: markers whose segment can no
+                # longer receive out-of-order siblings pair and apply now
+                self.finalize_ranges(
+                    settle_below=int(self._max_segment_seen) - int(self.settle_lag_segments)
+                )
         if self.runner.decode_binary:
             # same codec selection as the batch front-end (json | binary)
             batch_df = self.runner._decode_payload(batch_df)

@@ -93,6 +93,27 @@ def test_band_joins_are_equi_joins(spark, queries):
         ), name
 
 
+def test_scalar_types_plan_matches_full_state_shape(spark, queries):
+    """cdc_types_scalar drives seven typed cells through the same reduction;
+    the plan must keep the cdc_full_state shape — no nested-loop joins, the
+    SortAggregate bounded to the struct-max LWW pick."""
+    plan = _plan(spark, queries["cdc_types_scalar"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert _count(plan, "SortAggregate") <= 4
+    assert _count(plan, "HashAggregate") >= 1
+
+
+def test_batch_mutations_measures_explode_apply_only(spark, queries):
+    """The packed-log fixture keeps the pack shuffle OUT of the measured
+    plan: exchange count must not exceed cdc_full_state's by more than one
+    (round-4 shipped 9 vs 5 because every branch re-executed the pack)."""
+    full = _plan(spark, queries["cdc_full_state"](spark, SF_DIR))
+    batch = _plan(spark, queries["cdc_batch_mutations"](spark, SF_DIR))
+    assert "CartesianProduct" not in batch
+    assert _count(batch, "Exchange") <= _count(full, "Exchange") + 1
+
+
 def test_decode_envelope_is_map_only(spark, queries):
     """D11 envelope construction is a pure scan-project plan: no exchange,
     no aggregate, no join — decode stays at scan speed."""

@@ -140,6 +140,39 @@ def test_adversarial_marker_delivery_does_not_mispair(spark, tmp_path):
     assert alive == [4, 5, 6, 7, 10]
 
 
+def test_continuous_settle_applies_ranges_before_drain(spark, tmp_path):
+    """Continuous-tailing mode: with settle_lag_segments=1, markers whose
+    segment trails the max delivered segment by more than the lag pair and
+    apply DURING the stream — a never-ending tail applies range deletes
+    without waiting for a drain; the final finalize picks up the tail."""
+    from debezium_connector_cassandra_spark.sources.generator import (
+        read_mutation_log,
+    )
+    from debezium_connector_cassandra_spark.streaming.stream import CdcStream
+
+    log = gen_mutation_log(
+        spark, 1500, n_convs=20, max_turns=20, events_per_segment=300, seed=61
+    )
+    log_path = str(tmp_path / "log")
+    write_mutation_log(split_range_markers(log), log_path)
+    runner = CdcRunner(
+        spark, log_path, str(tmp_path / "t"), n_buckets=4,
+        unpaired_range_markers=True,
+    )
+    stream = CdcStream(runner, settle_lag_segments=1)
+    for seg in range(5):
+        batch = read_mutation_log(spark, log_path).where(F.col("segment_id") == seg)
+        stream._handle_batch(batch, seg)
+    # split pairs are intra-segment, so every marker in segments <= 3 has
+    # settled mid-stream; only the lag window (segment 4) is still deferred
+    ctx_segments = {
+        r["segment_id"] for r in stream._range_ctx.read().select("segment_id").distinct().collect()
+    }
+    assert ctx_segments <= {4}
+    stream.finalize_ranges()
+    assert_state_equal(runner.target.read_transcripts(), replay(log.toPandas()))
+
+
 def test_dangling_and_orphan_markers_stay_in_context(spark, tmp_path):
     """A start with no end (and an end with no start) never applies — it
     stays in the context as the reference's log-and-skip leftover."""
