@@ -168,6 +168,31 @@ class TypeMapper:
         return tuple((n, self.spark_type(t)) for n, t in columns)
 
 
+def uuid_str_from_bytes(col):
+    """binary(16) -> canonical lowercase uuid string, as a Catalyst
+    expression (UuidUtil.asUuid analog, core/.../UuidUtil.java:17-22 —
+    big-endian msb/lsb longs == left-to-right hex)."""
+    from pyspark.sql import functions as F
+
+    h = F.lower(F.hex(col))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def uuid_bytes_from_str(col):
+    """canonical uuid string -> binary(16) (UuidUtil.asBytes analog,
+    UuidUtil.java:24-29)."""
+    from pyspark.sql import functions as F
+
+    return F.unhex(F.regexp_replace(col, "-", ""))
+
+
 def _tokenize(s: str) -> list[str]:
     out, cur = [], []
     for ch in s:
