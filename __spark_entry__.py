@@ -476,6 +476,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_snapshot_metrics"] = cdc_snapshot_metrics
 
+    # --- R10: streaming-metrics gauges as a relation ------------------------
+    # The per-partition gauge VALUES of CassandraStreamingMetrics.java:19-73
+    # (commit-log filename + position watermark, processed count) computed
+    # relationally over the derived log — the same numbers
+    # CdcRunner.streaming_metrics() reports from its bookkeeping after a
+    # full drain, here as a deterministic one-row-per-partition relation.
+    def cdc_streaming_metrics(spark, sf_dir):
+        flat = _flat_log(spark, sf_dir)
+        return (
+            flat.groupBy("log_partition")
+            .agg(
+                F.max(F.struct("segment_id", "position")).alias("w"),
+                F.count("*").alias("n_processed"),
+            )
+            .select(
+                "log_partition",
+                F.concat(
+                    F.lit("CommitLog-7-"),
+                    F.col("w.segment_id").cast("string"),
+                    F.lit(".log"),
+                ).alias("commit_log_filename"),
+                F.col("w.position").alias("commit_log_position"),
+                "n_processed",
+            )
+        )
+
+    q["cdc_streaming_metrics"] = cdc_streaming_metrics
+
     # --- R9: schema evolution (v2 adds 'meta') ------------------------------
     def cdc_schema_evolution(spark, sf_dir):
         log = derived_log(spark, sf_dir, include_meta=True).where(F.col("op").isin("i", "u"))
@@ -1839,6 +1867,23 @@ SELECT concat('ks.t', CAST(log_partition AS varchar)) AS table_name,
        TRUE AS completed,
        FALSE AS running
 FROM per, tot
+"""
+    )
+
+    o["cdc_streaming_metrics"] = _duck(
+        """
+, w AS (
+  SELECT log_partition, segment_id, position,
+         row_number() OVER (PARTITION BY log_partition
+                            ORDER BY segment_id DESC, position DESC) AS rn
+  FROM m
+),
+cnt AS (SELECT log_partition, count(*) AS n_processed FROM m GROUP BY 1)
+SELECT c.log_partition,
+       concat('CommitLog-7-', CAST(w.segment_id AS varchar), '.log') AS commit_log_filename,
+       w.position AS commit_log_position,
+       CAST(c.n_processed AS bigint) AS n_processed
+FROM w JOIN cnt c USING (log_partition) WHERE w.rn = 1
 """
     )
 
