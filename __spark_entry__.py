@@ -1374,6 +1374,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pq_codes"] = emb_pq_codes
 
+    # --- SQ8 scalar quantization: the 4x middle memory tier ----------------
+    # per-dimension affine uint8 codes (FAISS SQ8 shape): train = one
+    # partial-combined min/max agg row; encode = map-only; topk = asymmetric
+    # float-query x decoded-codes with the in-order dot fold
+    def emb_sq8_codes(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            sq_bounds,
+            sq_encode,
+        )
+
+        embs = _embs(spark, sf_dir)
+        b = sq_bounds(embs, dim=64)
+        return sq_encode(embs, b).select(
+            "vec_id",
+            F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes_s"),
+        )
+
+    q["emb_sq8_codes"] = emb_sq8_codes
+
+    def emb_sq8_topk(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.similarity import sq_topk
+
+        embs = _embs(spark, sf_dir)
+        return sq_topk(embs, embs.where(F.col("vec_id") < 8), k=5)
+
+    q["emb_sq8_topk"] = emb_sq8_topk
+
     def emb_pq_topk(spark, sf_dir):
         # asymmetric-distance top-k: per-query m x 16 lookup table
         # (broadcast), database vectors scored by summing integer lookups
@@ -2513,6 +2540,50 @@ best AS (
   FROM scored GROUP BY 1, 2
 ),
 codes AS (SELECT vec_id, j, enc % 1048576 AS code FROM best)
+"""
+
+    _SQ_BASE = """
+WITH dims AS (SELECT CAST(i AS int) AS i FROM generate_series(1, 64) t(i)),
+vals AS (
+  SELECT vec_id, d.i, CAST(embedding[d.i] AS double) AS x
+  FROM embeddings, dims d
+),
+b AS (SELECT i, min(x) AS mn, max(x) AS mx FROM vals GROUP BY 1),
+codes AS (
+  SELECT v.vec_id, v.i,
+         CASE WHEN b.mx - b.mn > 0
+              THEN CAST(floor((v.x - b.mn) / (b.mx - b.mn) * 255 + 0.5) AS int)
+              ELSE 0 END AS c
+  FROM vals v JOIN b USING (i)
+)
+"""
+
+    o["emb_sq8_codes"] = _SQ_BASE + """
+SELECT vec_id, string_agg(CAST(c AS varchar), '-' ORDER BY i) AS codes_s
+FROM codes GROUP BY 1
+"""
+
+    o["emb_sq8_topk"] = _SQ_BASE + """
+, dec AS (
+  SELECT c.vec_id, list(b.mn + (c.c * (b.mx - b.mn)) / 255 ORDER BY c.i) AS dv
+  FROM codes c JOIN b USING (i) GROUP BY 1
+),
+q AS (SELECT vec_id AS query_id,
+             list_transform(embedding, v -> CAST(v AS double)) AS qv
+      FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         round(list_sum(list_transform(list_zip(q.qv, d.dv),
+               t -> t[1] * t[2])), 4) + 0.0 AS score
+  FROM dec d, q WHERE d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS int) AS rank, score
+FROM ranked WHERE rank <= 5
 """
 
     o["emb_pq_codes"] = _PQ_BASE + """

@@ -170,3 +170,28 @@ class CdcConfig:
 
         kwargs = {**self.runner_kwargs(), **overrides}
         return CdcRunner(spark, log_path, target_path, **kwargs)
+
+    def build_multi_runner(
+        self, spark, log_path: str, target_root: str, specs, **overrides
+    ):
+        """Construct a MultiTableRunner — only the knobs that exist at the
+        multi-table surface apply (routing/tracing/field-exclude are
+        single-table concerns there)."""
+        from .streaming.multi_table import MultiTableRunner
+
+        kw = self.runner_kwargs()
+        kwargs = {
+            k: kw[k]
+            for k in (
+                "segments_per_batch",
+                "n_buckets",
+                "tombstones_on_delete",
+                "payload_format",
+                "batch_mutations",
+                "export_changes",
+                "gc_grace_us",
+                "gc_every_batches",
+            )
+        }
+        kwargs.update(overrides)
+        return MultiTableRunner(spark, log_path, target_root, specs, **kwargs)

@@ -681,3 +681,117 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the third retrieval memory tier (float32 ->
+# PQ codes is ~32x compression with coarse distances; SQ8 is the standard
+# middle ground: per-dimension affine uint8 codes, 4x compression, near-exact
+# distances — what FAISS calls SQ8 / IndexScalarQuantizer).
+# ---------------------------------------------------------------------------
+
+
+def sq_bounds(
+    embeddings: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) training pass as ONE aggregate row: 2*dim
+    partially-combined min/max expressions over the corpus scan — no
+    explode, no extra shuffle, a bounded 2*dim-value driver materialization
+    (the same contract as the k-means centroid rows). The bounds then ride
+    into encode/score as broadcast literals."""
+    row = embeddings.agg(
+        *[
+            F.min(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"mn{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"mx{i}")
+            for i in range(dim)
+        ],
+    ).collect()[0]
+    return [(row[f"mn{i}"], row[f"mx{i}"]) for i in range(dim)]
+
+
+def sq_encode(
+    embeddings: DataFrame,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """uint8 codes: c_i = floor((x_i - mn_i) / (mx_i - mn_i) * 255 + 0.5)
+    (degenerate dimensions encode 0). Map-only Catalyst pass — one int per
+    dimension retained instead of a float32: the 4x memory cut that makes a
+    100 TB corpus scannable from codes. The arithmetic mirrors the oracle's
+    op order exactly so codes hash-match bit-for-bit."""
+    mns = F.array(*[F.lit(float(mn)) for mn, _ in bounds])
+    spans = F.array(*[F.lit(float(mx - mn)) for mn, mx in bounds])
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    codes = F.zip_with(
+        F.zip_with(xd, mns, lambda x, m: x - m),
+        spans,
+        lambda d, sp: F.when(
+            sp > 0, F.floor(d / sp * 255 + F.lit(0.5)).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return embeddings.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: list[tuple[float, float]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric SQ top-k: the query stays float, the corpus is scored
+    from its uint8 codes decoded on the fly against broadcast bounds —
+    dec_i = mn_i + (c_i * span_i) / 255, score = in-order dot fold (the
+    cosine_topk determinism contract). At scale the corpus side reads ONLY
+    the codes relation (4x smaller scan, no float vectors); precompute and
+    pass ``bounds=``/``codes=`` to skip the training pass.
+
+    Returns (query_id, neighbor_id, rank, score)."""
+    from pyspark.sql import Window as W
+
+    if bounds is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+        bounds = sq_bounds(embeddings, dim=dim, vec_col=vec_col)
+    b = bounds
+    enc = codes if codes is not None else sq_encode(embeddings, b, id_col, vec_col)
+    mns = F.array(*[F.lit(float(mn)) for mn, _ in b])
+    spans = F.array(*[F.lit(float(mx - mn)) for mn, mx in b])
+    dec = F.zip_with(
+        F.zip_with(F.col("codes"), spans, lambda c, sp: (c * sp) / 255),
+        mns,
+        lambda a, m: a + m,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("q_vec"),
+    )
+    scored = (
+        enc.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dec", dec)
+        .withColumn(
+            "score",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("q_vec"), F.col("dec"), lambda a, c: a * c),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                4,
+            )
+            + F.lit(0.0),
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
