@@ -1401,6 +1401,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_sq8_topk"] = emb_sq8_topk
 
+    def emb_ivf_sq_topk(spark, sf_dir):
+        # the FAISS IVFx,SQ8 composition: coarse probe -> inverted-list
+        # equi-join -> uint8 decode vs broadcast bounds -> in-order dot fold
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            ivf_sq_topk,
+        )
+
+        embs = _embs(spark, sf_dir)
+        return ivf_sq_topk(embs, embs.where(F.col("vec_id") < 8), k=5, n_probe=4)
+
+    q["emb_ivf_sq_topk"] = emb_ivf_sq_topk
+
     def emb_pq_topk(spark, sf_dir):
         # asymmetric-distance top-k: per-query m x 16 lookup table
         # (broadcast), database vectors scored by summing integer lookups
@@ -2576,6 +2588,62 @@ scored AS (
          round(list_sum(list_transform(list_zip(q.qv, d.dv),
                t -> t[1] * t[2])), 4) + 0.0 AS score
   FROM dec d, q WHERE d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS int) AS rank, score
+FROM ranked WHERE rank <= 5
+"""
+
+    o["emb_ivf_sq_topk"] = _SQ_BASE + f"""
+, cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+),
+ascored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(1.0 - {DOT.format(a="e.embedding", b="c.cv")}, 4) + 0.0 AS dist
+  FROM embeddings e, cents c
+),
+iassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM ascored
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+qs AS (
+  SELECT q.query_id, c.centroid_id,
+         round(1.0 - {DOT.format(a="q.qv", b="c.cv")}, 4) + 0.0 AS dist
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM qs
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN iassign a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+dec AS (
+  SELECT c.vec_id, list(b.mn + (c.c * (b.mx - b.mn)) / 255 ORDER BY c.i) AS dv
+  FROM codes c JOIN b USING (i) GROUP BY 1
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(list_sum(list_transform(
+             list_zip(list_transform(q.qv, v -> CAST(v AS double)), d.dv),
+             t -> t[1] * t[2])), 4) + 0.0 AS score
+  FROM cand cd
+  JOIN dec d ON d.vec_id = cd.neighbor_id
+  JOIN q ON q.query_id = cd.query_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
