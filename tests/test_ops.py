@@ -234,6 +234,45 @@ def test_pq_codes_and_adc_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.15
 
 
+def test_sq8_near_exact_recall(spark):
+    """SQ8 contract: uint8 per-dimension codes are the near-exact tier —
+    top-5 from decoded codes must equal exact cosine top-5 almost
+    everywhere, even on the unstructured synthetic corpus where PQ's lossy
+    subvector codes plateau at ~0.25 (BENCH/pq_recall.json). Also pins the
+    code range and the degenerate-dimension rule."""
+    from debezium_connector_cassandra_spark.operators.similarity import (
+        cosine_topk,
+        ivf_sq_topk,
+        sq_bounds,
+        sq_encode,
+        sq_topk,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    b = sq_bounds(embs, dim=64)
+    assert len(b) == 64 and all(mn <= mx for mn, mx in b)
+    codes = sq_encode(embs, b)
+    row = codes.where(F.col("vec_id") == 0).collect()[0]["codes"]
+    assert len(row) == 64 and all(0 <= c <= 255 for c in row)
+
+    queries = embs.where(F.col("vec_id").between(20, 31))
+    exact, approx = {}, {}
+    for r in cosine_topk(embs, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in sq_topk(embs, queries, k=5, bounds=b, codes=codes).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q] & approx[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9  # near-exact, not ~0.25
+
+    # the composed IVF-SQ8 path can only lose candidates to probe selection
+    # (same ceiling as IVF-Flat), never to scoring
+    ivf = {}
+    for r in ivf_sq_topk(embs, queries, k=5, n_probe=16, bounds=b, codes=codes).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls_ivf = [len(exact[q] & ivf[q]) / 5 for q in exact]
+    assert sum(recalls_ivf) / len(recalls_ivf) >= 0.9  # n_probe=all => exact
+
+
 def test_multimodal_stub_contract(spark):
     docs = spark.createDataFrame(DOCS)
     media = attach_payload(docs)
