@@ -1295,6 +1295,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_quality"] = docs_quality
 
+    def docs_quality_filter(spark, sf_dir):
+        # the composed Gopher/C4-style keep-drop stage: four in-row signals,
+        # fixed-order auditable drop reasons, ONE map-only projection (no
+        # feature-relation joins); corpus augmented with triple-repeated
+        # docs so the repeated_lines rule actually fires
+        from debezium_connector_cassandra_spark.functions.text import quality_filter
+
+        docs = _docs(spark, sf_dir)
+        reps = docs.where(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.concat_ws("\n", "text", "text", "text").alias("text"),
+        )
+        return quality_filter(docs.unionByName(reps))
+
+    q["docs_quality_filter"] = docs_quality_filter
+
     def docs_langid(spark, sf_dir):
         from debezium_connector_cassandra_spark.functions.text import langid
 
@@ -2286,6 +2302,60 @@ SELECT r.doc_id,
 FROM rcorpus r
 LEFT JOIN per_doc p ON p.doc_id = r.doc_id
 LEFT JOIN top t ON t.doc_id = r.doc_id
+"""
+
+    o["docs_quality_filter"] = r"""
+WITH rcorpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, concat_ws(chr(10), text, text, text)
+  FROM documents WHERE doc_id % 10 = 7
+),
+qt AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS nt,
+         round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS double)
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS ttr
+  FROM rcorpus
+),
+lns AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM rcorpus
+  ) WHERE len(line) > 0
+),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lns GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_cnt
+  FROM lc GROUP BY 1
+),
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM rcorpus),
+bi AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+  FROM tok, generate_series(1, 2000) t(i) WHERE i + 1 <= len(toks)
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi FROM bc GROUP BY 1),
+sig AS (
+  SELECT q.doc_id,
+    q.nt < 30 AS too_short,
+    q.ttr < 0.35 AS low_div,
+    round(CAST(coalesce(t.top_c, 0) AS double)
+          / greatest(coalesce(t.n_bi, 1), 1), 4) > 0.08 AS rep_bi,
+    round(CAST(coalesce(p.dup_cnt, 0) AS double)
+          / greatest(coalesce(p.n_lines, 1), 1), 4) > 0.3 AS rep_lines
+  FROM qt q
+  LEFT JOIN per_doc p ON p.doc_id = q.doc_id
+  LEFT JOIN top t ON t.doc_id = q.doc_id
+)
+SELECT doc_id,
+  (NOT too_short AND NOT low_div AND NOT rep_bi AND NOT rep_lines) AS keep,
+  concat_ws(',',
+    CASE WHEN too_short THEN 'too_short' END,
+    CASE WHEN low_div THEN 'low_diversity' END,
+    CASE WHEN rep_bi THEN 'repetitive_bigram' END,
+    CASE WHEN rep_lines THEN 'repeated_lines' END) AS drop_reasons
+FROM sig
 """
 
     o["docs_quality"] = """

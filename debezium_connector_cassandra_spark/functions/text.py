@@ -72,38 +72,97 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-line/per-bigram explode): aggregate over array_distinct keeps the
     whole computation map-only — scan-speed at corpus scale."""
     t = F.col(text_col)
-    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
-    uniq = F.array_distinct(lines)
-    occ = lambda arr, x: F.size(F.filter(arr, lambda y: y == x))  # noqa: E731
-    dup_lines = F.filter(uniq, lambda x: occ(lines, x) > 1)
-    dup_cnt = F.aggregate(
-        dup_lines, F.lit(0), lambda acc, x: acc + occ(lines, x)
-    )
-    dup_chars = F.aggregate(
-        dup_lines, F.lit(0), lambda acc, x: acc + occ(lines, x) * F.length(x)
-    )
-    total_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
-
-    toks = tokens(t)
-    # denominator = the number of bigrams actually generated (capped), so
-    # the fraction stays consistent with the capped list on very long docs
-    n_bi = F.least(F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(2000))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            # cap mirrors the DuckDB oracle's generate_series(1, 2000)
-            F.sequence(F.lit(0), F.least(F.size(toks) - 2, F.lit(1999))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    top_bi = F.array_max(
-        F.transform(F.array_distinct(bigrams), lambda g: occ(bigrams, g))
-    )
+    lines, dup_cnt, dup_chars, total_chars = _line_stats(t)
+    top_bi, n_bi = _top_bigram(t)
     return df.select(
         "doc_id",
         F.round(dup_cnt / F.greatest(F.size(lines), F.lit(1)), 4).alias("dup_line_frac"),
         F.round(dup_chars / F.greatest(total_chars, F.lit(1)), 4).alias("dup_line_char_frac"),
         F.round(F.coalesce(top_bi, F.lit(0)) / F.greatest(n_bi, F.lit(1)), 4).alias("top_bigram_frac"),
+    )
+
+
+def _occ(arr, x):
+    return F.size(F.filter(arr, lambda y: y == x))
+
+
+def _line_stats(t: Column):
+    """(lines, dup_cnt, dup_chars, total_chars) column bundle — shared by
+    repetition_features and quality_filter, all in-row HOFs."""
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    uniq = F.array_distinct(lines)
+    dup_lines = F.filter(uniq, lambda x: _occ(lines, x) > 1)
+    dup_cnt = F.aggregate(dup_lines, F.lit(0), lambda acc, x: acc + _occ(lines, x))
+    dup_chars = F.aggregate(
+        dup_lines, F.lit(0), lambda acc, x: acc + _occ(lines, x) * F.length(x)
+    )
+    total_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    return lines, dup_cnt, dup_chars, total_chars
+
+
+def _top_bigram(t: Column):
+    """(top-bigram count, capped bigram denominator) — the cap mirrors the
+    DuckDB oracle's generate_series(1, 2000); denominator = bigrams actually
+    generated so the fraction stays consistent on very long docs."""
+    toks = tokens(t)
+    n_bi = F.least(F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(2000))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.least(F.size(toks) - 2, F.lit(1999))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bi = F.array_max(
+        F.transform(F.array_distinct(bigrams), lambda g: _occ(bigrams, g))
+    )
+    return top_bi, n_bi
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    min_ttr: float = 0.35,
+    max_top_bigram_frac: float = 0.08,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Composed Gopher/C4-style keep-drop decision — the filter stage a
+    pretraining pipeline actually runs, as ONE map-only projection (all four
+    signals are in-row HOFs over the same scan; no joins between feature
+    relations, no shuffle):
+
+    - ``too_short``          n_tokens below the floor
+    - ``low_diversity``      type-token ratio below the floor
+    - ``repetitive_bigram``  top word-bigram fraction above the ceiling
+    - ``repeated_lines``     duplicated-line fraction above the ceiling
+
+    Thresholds compare the 4-dp ROUNDED signals (the same values the
+    feature relations emit), so decisions are reproducible cross-engine.
+    Returns (doc_id, keep, drop_reasons) with reasons in a fixed order —
+    auditable filtering, not just a boolean."""
+    t = F.col(text_col)
+    nt = n_tokens(t)
+    ttr = F.round(
+        F.size(F.array_distinct(tokens(t))) / F.greatest(nt, F.lit(1)), 4
+    )
+    lines, dup_cnt, _, _ = _line_stats(t)
+    dlf = F.round(dup_cnt / F.greatest(F.size(lines), F.lit(1)), 4)
+    top_bi, n_bi = _top_bigram(t)
+    tbf = F.round(F.coalesce(top_bi, F.lit(0)) / F.greatest(n_bi, F.lit(1)), 4)
+    reasons = F.filter(
+        F.array(
+            F.when(nt < min_tokens, F.lit("too_short")),
+            F.when(ttr < min_ttr, F.lit("low_diversity")),
+            F.when(tbf > max_top_bigram_frac, F.lit("repetitive_bigram")),
+            F.when(dlf > max_dup_line_frac, F.lit("repeated_lines")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", reasons).alias("drop_reasons"),
     )
 
 
