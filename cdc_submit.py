@@ -68,6 +68,9 @@ def main() -> None:
                    help="log carries atomic multi-change records (LOGGED batch analog)")
     r.add_argument("--tracing", action="store_true",
                    help="emit the per-event span relation alongside the changes export")
+    r.add_argument("--on-error", choices=["raise", "isolate"], default="raise",
+                   help="isolate = quarantine failing segments (error lineage, "
+                        "CommitLogTransfer error folder) and keep draining")
     r.add_argument("--gc-grace-us", type=int, default=None,
                    help="enable tombstone GC: purge stored tombstones below "
                         "(max applied writetime - this grace); size it from the "
@@ -170,7 +173,7 @@ def main() -> None:
             gc_grace_us=args.gc_grace_us,
             gc_every_batches=args.gc_every_batches,
         )
-        results = runner.run(max_batches=args.max_batches)
+        results = runner.run(max_batches=args.max_batches, on_error=args.on_error)
         print(json.dumps({"batches": results}))
         return
 

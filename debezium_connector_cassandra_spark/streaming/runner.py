@@ -173,7 +173,7 @@ class CdcRunner:
         # single-writer in-memory bookkeeping caches (recovered from the
         # tables once, here; maintained incrementally afterwards)
         self._watermarks = self._load_watermarks()
-        self._done, self._open = self._load_lineage_status()
+        self._done, self._open, self._errored = self._load_lineage_status()
         self._open_positions = self._load_open_positions()
 
     def _bookkeeping(self, name: str, schema) -> LakeTable:
@@ -240,24 +240,35 @@ class CdcRunner:
         )
         return {r["log_partition"]: (r["segment_id"], r["position"]) for r in rows}
 
-    def _load_lineage_status(self) -> tuple[set[int], set[int]]:
-        """(done, open) segment sets. A segment is open while it has an
-        'open' row (position-limited tail) and no completing row yet."""
+    def _load_lineage_status(self) -> tuple[set[int], set[int], set[int]]:
+        """(done, open, errored) segment sets. A segment is open while it has
+        an 'open' row (position-limited tail) and no completing row yet;
+        errored while it has an 'error' row and no completing row ('done' or
+        a successful 'reprocess' both complete it)."""
         if self.lineage.is_empty():
-            return set(), set()
+            return set(), set(), set()
         rows = (
             self.lineage.read()
             .groupBy("segment_id")
             .agg(F.collect_set("status").alias("statuses"))
             .collect()
         )
-        done = {r["segment_id"] for r in rows if "done" in r["statuses"]}
+        done = {
+            r["segment_id"]
+            for r in rows
+            if "done" in r["statuses"] or "reprocess" in r["statuses"]
+        }
         open_ = {
             r["segment_id"]
             for r in rows
-            if "open" in r["statuses"] and "done" not in r["statuses"]
+            if "open" in r["statuses"] and r["segment_id"] not in done
         }
-        return done, open_
+        errored = {
+            r["segment_id"]
+            for r in rows
+            if "error" in r["statuses"] and r["segment_id"] not in done
+        }
+        return done, open_, errored
 
     def _load_open_positions(self) -> dict[int, dict[int, int]]:
         """For each open segment: log_partition -> max applied position."""
@@ -285,6 +296,11 @@ class CdcRunner:
     def open_segments(self) -> set[int]:
         return set(self._open)
 
+    def errored_segments(self) -> set[int]:
+        """Segments quarantined by run(on_error='isolate') — replay them
+        with reprocess() after fixing the data (R8)."""
+        return set(self._errored)
+
     def _decode_payload(self, log: DataFrame) -> DataFrame:
         if self.payload_format == "binary":
             from ..functions.binary_codec import decode_payload_binary
@@ -297,7 +313,11 @@ class CdcRunner:
     # -- planning -----------------------------------------------------------
     def pending_segments(self) -> list[int]:
         all_segments = discover_segments(self.log_path)
-        return [s for s in all_segments if s not in self._done]
+        return [
+            s
+            for s in all_segments
+            if s not in self._done and s not in self._errored
+        ]
 
     # -- one batch ----------------------------------------------------------
     def run_batch(
@@ -617,6 +637,7 @@ class CdcRunner:
             **totals,
             "n_segments_done": len(self._done),
             "n_segments_open": len(self._open),
+            "n_segments_error": len(self._errored),
             "per_partition": per_partition,
         }
 
@@ -647,12 +668,42 @@ class CdcRunner:
         )
         return {"n_purged": res["n_purged"], "n_kept": res["n_kept"], "horizon_wt": horizon}
 
+    def _mark_error(self, segment_id: int) -> None:
+        """Quarantine a failing segment (R3's archive-to-error-folder flow):
+        an 'error' lineage row, exclusion from future planning, and the
+        CommitLogTransfer.on_error move when a transfer is configured."""
+        self.lineage.append_small(
+            [
+                {
+                    "segment_id": int(segment_id),
+                    "log_partition": -1,
+                    "status": "error",
+                    "n_events": 0,
+                }
+            ]
+        )
+        self._errored.add(int(segment_id))
+        if self.commit_log_transfer is not None:
+            self.commit_log_transfer.on_error(segment_id)
+
     # -- the loop -----------------------------------------------------------
-    def run(self, max_batches: int | None = None) -> list[dict]:
+    def run(self, max_batches: int | None = None, on_error: str = "raise") -> list[dict]:
         """Drain pending segments in segment order, segments_per_batch at a
         time (Trigger.AvailableNow-style). With ``gc_grace_us`` set, stored
         tombstones are GC'd every ``gc_every_batches`` batches, so the store
-        stays bounded over an arbitrarily long run."""
+        stays bounded over an arbitrarily long run.
+
+        ``on_error``: 'raise' propagates the first failure (default);
+        'isolate' is the reference's error-folder flow (CommitLogProcessor's
+        per-commit-log error handling): a failing batch is retried segment
+        by segment to pin the fault, the failing segment(s) get an 'error'
+        lineage row + CommitLogTransfer.on_error and drop out of planning,
+        and the drain continues — ``reprocess()`` replays them once fixed.
+        Safe because batches are independent up to the idempotent merge:
+        skipping a segment cannot corrupt others' state, only defer that
+        segment's events."""
+        if on_error not in ("raise", "isolate"):
+            raise ValueError(f"unknown on_error mode {on_error!r}")
         results = []
         n = 0
         while True:
@@ -660,7 +711,19 @@ class CdcRunner:
             if not pending or (max_batches is not None and n >= max_batches):
                 break
             batch = pending[: self.segments_per_batch]
-            results.append(self.run_batch(batch))
+            if on_error == "raise":
+                results.append(self.run_batch(batch))
+            else:
+                try:
+                    results.append(self.run_batch(batch))
+                except Exception:
+                    # isolate: one segment at a time; single-segment failures
+                    # are the faulty ones
+                    for seg in batch:
+                        try:
+                            results.append(self.run_batch([seg]))
+                        except Exception:
+                            self._mark_error(seg)
             n += 1
             if self.gc_grace_us is not None and n % self.gc_every_batches == 0:
                 self.gc()
@@ -669,5 +732,15 @@ class CdcRunner:
     def reprocess(self, segment_ids: list[int]) -> dict:
         """R8 error-segment reprocessing: replay named segments bypassing the
         offset skip-check; state is unchanged on a true replay because the
-        merge is idempotent."""
-        return self.run_batch(segment_ids, reprocess=True)
+        merge is idempotent. Errored segments are restored from the
+        transfer's error folder first (reference moves error commit logs
+        back to the CDC dir, CommitLogProcessor.java:113-117) and leave
+        quarantine on success."""
+        if self.commit_log_transfer is not None:
+            for seg in segment_ids:
+                self.commit_log_transfer.restore(seg)
+        result = self.run_batch(segment_ids, reprocess=True)
+        for seg in segment_ids:
+            self._errored.discard(int(seg))
+            self._done.add(int(seg))
+        return result

@@ -354,3 +354,74 @@ def test_snapshot_ttl_deletion_ts(spark):
     }
     assert state[1]["role"] is None and state[2]["role"] == "user"
     assert state[1]["_live_wt"] == wt  # row still live (liveness not TTL'd)
+
+
+def test_error_isolation_quarantines_failing_segment(spark, tmp_path):
+    """R3 error-folder flow: a corrupted segment is isolated (lineage
+    'error', excluded from planning, drain continues), then reprocess()
+    replays it after the fix and the state converges to the full replay."""
+    import os
+
+    log = gen_mutation_log(spark, 1200, n_convs=30, events_per_segment=300, seed=91)
+    path = str(tmp_path / "log")
+    write_mutation_log(log, path)
+    # corrupt segment 1: a garbage file the parquet reader chokes on
+    bad = os.path.join(path, "segment_id=1", "zz-corrupt.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    runner = CdcRunner(spark, path, str(tmp_path / "t"), segments_per_batch=2, n_buckets=8)
+    results = runner.run(on_error="isolate")
+    assert results  # the healthy segments applied
+    assert runner.errored_segments() == {1}
+    assert runner.pending_segments() == []  # quarantined, not pending
+    statuses = {
+        r["status"]
+        for r in runner.lineage.read().where(F.col("segment_id") == 1).collect()
+    }
+    assert "error" in statuses
+    assert runner.streaming_metrics()["n_segments_error"] == 1
+
+    # a restarted runner recovers the quarantine from lineage
+    r2 = CdcRunner(spark, path, str(tmp_path / "t"), segments_per_batch=2, n_buckets=8)
+    assert r2.errored_segments() == {1}
+
+    # fix the data, reprocess: full convergence + quarantine lifted
+    os.remove(bad)
+    r2.reprocess([1])
+    assert r2.errored_segments() == set()
+    assert_state_equal(r2.target.read_transcripts(), replay(log.toPandas()))
+    # a third runner no longer sees segment 1 as errored or pending
+    r3 = CdcRunner(spark, path, str(tmp_path / "t"), segments_per_batch=2, n_buckets=8)
+    assert r3.errored_segments() == set() and r3.pending_segments() == []
+
+
+def test_error_isolation_with_commit_log_transfer(spark, tmp_path):
+    """With a CommitLogTransfer configured, the failing segment moves to
+    _error/ (on_error) and reprocess() restores it first."""
+    import os
+
+    from debezium_connector_cassandra_spark.sources.log_scan import CommitLogTransfer
+
+    log = gen_mutation_log(spark, 900, n_convs=20, events_per_segment=300, seed=92)
+    path = str(tmp_path / "log")
+    write_mutation_log(log, path)
+    bad = os.path.join(path, "segment_id=2", "zz-corrupt.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"garbage")
+
+    transfer = CommitLogTransfer(path)
+    runner = CdcRunner(
+        spark, path, str(tmp_path / "t"), segments_per_batch=3, n_buckets=8,
+        commit_log_transfer=transfer,
+    )
+    runner.run(on_error="isolate")
+    assert runner.errored_segments() == {2}
+    assert os.path.isdir(os.path.join(path, "_error", "segment_id=2"))
+    assert not os.path.isdir(os.path.join(path, "segment_id=2"))
+
+    # fix inside the error folder, then reprocess restores + replays
+    os.remove(os.path.join(path, "_error", "segment_id=2", "zz-corrupt.parquet"))
+    runner.reprocess([2])
+    assert runner.errored_segments() == set()
+    assert_state_equal(runner.target.read_transcripts(), replay(log.toPandas()))
