@@ -127,6 +127,66 @@ def test_gc_bounds_store_over_long_run_state_identical(spark, tmp_path):
     )
 
 
+def test_gc_between_batches_never_changes_state_property(spark):
+    """Property (hypothesis): for ANY random mutation log split into two
+    batches, purging tombstones below (min writetime of batch 2 - 1) between
+    the applies yields EXACTLY the no-GC final state — the premise "no
+    future event's writetime is at or below the horizon" holds by
+    construction, so this pins the GC-safety argument itself, not just the
+    generator's bounded-inversion instance of it."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from hypothesis import HealthCheck, assume, given, settings
+    from hypothesis import strategies as st
+
+    from debezium_connector_cassandra_spark.plans.apply import (
+        CdcTarget,
+        apply_batch,
+        gc_tombstones,
+    )
+
+    from .test_property import LOG_SCHEMA, PAYLOAD, mutation_log
+
+    payload = {c: T.StringType() for c in PAYLOAD}
+
+    def final_state(rows_b1, rows_b2, with_gc):
+        wd = tempfile.mkdtemp(prefix="gcprop_")
+        try:
+            tgt = CdcTarget.create(spark, f"{wd}/t", n_buckets=2, payload=payload)
+            apply_batch(tgt, spark.createDataFrame(rows_b1, LOG_SCHEMA))
+            if with_gc:
+                horizon = min(r[5] for r in rows_b2) - 1
+                gc_tombstones(tgt, horizon)
+            apply_batch(tgt, spark.createDataFrame(rows_b2, LOG_SCHEMA))
+            pdf = tgt.read_transcripts().toPandas()
+            return (
+                pdf.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True)
+                .where(pd.notnull(pdf), None)
+            )
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(mutation_log(), st.integers(min_value=1, max_value=23))
+    def check(log_rows, split):
+        assume(0 < split < len(log_rows))
+        b1, b2 = log_rows[:split], log_rows[split:]
+        pd.testing.assert_frame_equal(
+            final_state(b1, b2, with_gc=True),
+            final_state(b1, b2, with_gc=False),
+            check_dtype=False,
+        )
+
+    check()
+
+
 def test_mt_runner_gc_sweeps_every_table(spark, tmp_path):
     from debezium_connector_cassandra_spark.model import TableSpec
     from debezium_connector_cassandra_spark.sources.generator import gen_multi_table_log
