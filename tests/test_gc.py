@@ -160,12 +160,16 @@ def test_gc_between_batches_never_changes_state_property(spark):
                 horizon = min(r[5] for r in rows_b2) - 1
                 gc_tombstones(tgt, horizon)
             apply_batch(tgt, spark.createDataFrame(rows_b2, LOG_SCHEMA))
-            pdf = tgt.read_transcripts().toPandas()
-            return (
-                pdf.sort_values(["conv_id", "turn_idx"])
+            pdf = (
+                tgt.read_transcripts()
+                .toPandas()
+                .sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True)
-                .where(pd.notnull(pdf), None)
             )
+            # mask must be computed on the SAME (sorted, reindexed) frame:
+            # .where aligns on index, so a mask from the unsorted frame nulls
+            # arbitrary rows whenever Spark's output order varies
+            return pdf.where(pd.notnull(pdf), None)
         finally:
             shutil.rmtree(wd, ignore_errors=True)
 
