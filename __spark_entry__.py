@@ -1456,6 +1456,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_ivf_pq_topk"] = emb_ivf_pq_topk
 
+    def emb_pq_rerank_topk(spark, sf_dir):
+        # exact refine after the lossy candidate stage (FAISS PQy,RFlat):
+        # ADC proposes top-20 from integer codes, the float vectors are read
+        # for exactly those 20 rows per query, final top-5 is exact
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            pq_rerank_topk,
+        )
+
+        embs = _embs(spark, sf_dir)
+        return pq_rerank_topk(embs, embs.where(F.col("vec_id") < 8), k=5, rerank=20)
+
+    q["emb_pq_rerank_topk"] = emb_pq_rerank_topk
+
     def emb_near_dups(spark, sf_dir):
         from debezium_connector_cassandra_spark.operators.similarity import (
             embedding_near_dups,
@@ -2751,6 +2764,44 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS int) AS rank,
        CAST(d4_sum AS double) / 10000.0 AS adc_dist
 FROM ranked WHERE rank <= 5
+"""
+
+    o["emb_pq_rerank_topk"] = _PQ_BASE + f"""
+, lut AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.code_id AS code,
+    CAST(round(round(list_sum(list_transform(
+        list_zip(q.embedding[cb.j*16+1 : cb.j*16+16], cb.cw),
+        t -> (CAST(t[1] AS double) - CAST(t[2] AS double)) ** 2)), 4) * 10000, 0) AS bigint) AS d4
+  FROM embeddings q, cb WHERE q.vec_id < 8
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, sum(d4) AS d4_sum
+  FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+  WHERE l.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d4_sum, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= 20
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({DOT.format(a="q.qv", b="e.embedding")}, 4) + 0.0 AS sim
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN qv q ON q.query_id = c.query_id
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, CAST(rank AS int) AS rank, sim
+FROM rr WHERE rank <= 5
 """
 
     o["emb_ivf_pq_topk"] = _PQ_BASE + f"""

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from debezium_connector_cassandra_spark.operators.similarity import (
     pq_adc_topk,
     pq_codebooks_kmeans,
+    pq_rerank_topk,
 )
 from debezium_connector_cassandra_spark.session import get_spark
 
@@ -58,17 +59,22 @@ def exact_cosine_topk(X: np.ndarray, qids: list[int]) -> dict[int, set]:
     return out
 
 
-def pq_recall(spark, X: np.ndarray, qids: list[int], m: int, iters: int) -> float:
+def pq_recall(
+    spark, X: np.ndarray, qids: list[int], m: int, iters: int, rerank: int = 0
+) -> float:
     dim = X.shape[1]
     df = spark.createDataFrame(
         [(int(i), [float(x) for x in X[i]]) for i in range(len(X))],
         "vec_id long, embedding array<float>",
     ).cache()
     cb = pq_codebooks_kmeans(df, m=m, n_codes=16, n_iters=iters, dim=dim)
-    got = pq_adc_topk(
-        df, df.where(F.col("vec_id").isin([int(q) for q in qids])),
-        k=K, m=m, dim=dim, codebooks=cb,
-    )
+    queries = df.where(F.col("vec_id").isin([int(q) for q in qids]))
+    if rerank:
+        got = pq_rerank_topk(
+            df, queries, k=K, rerank=rerank, m=m, dim=dim, codebooks=cb
+        )
+    else:
+        got = pq_adc_topk(df, queries, k=K, m=m, dim=dim, codebooks=cb)
     by_q: dict[int, set] = {}
     for r in got.collect():
         by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -118,6 +124,20 @@ def main() -> None:
         out["clustered_tight"][f"m={m} iters={iters}"] = pq_recall(
             spark, X_clus, qids, m, iters
         )
+    # the refine stage (pq_rerank_topk): ADC proposes top-R, exact re-rank
+    # over the float vectors of just those R — recall becomes "is the true
+    # neighbor anywhere in ADC's top-R", which is a far weaker demand on the
+    # codes than exact top-5 ordering
+    out["rerank_refine"] = {}
+    for corpus, X in [
+        ("near_random_sf0001", X_rand),
+        ("clustered_coarse", X_coarse),
+        ("clustered_tight", X_clus),
+    ]:
+        for rr in (20, 50):
+            out["rerank_refine"][f"{corpus} m=16 iters=2 rerank={rr}"] = pq_recall(
+                spark, X, qids, 16, 2, rerank=rr
+            )
     out["note"] = (
         "Recall tracks the corpus's neighbor structure, as PQ theory "
         "predicts: near-random ~0.2-0.3 (quantization error dominates — no "

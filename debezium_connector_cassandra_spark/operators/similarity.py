@@ -883,3 +883,87 @@ def ivf_sq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact re-rank — the refine stage every production ANN deployment puts after
+# a lossy candidate generator (FAISS IndexRefineFlat): the quantized index
+# proposes R >> k candidates cheaply, the float vectors are consulted ONLY
+# for those R rows, and the final top-k is exact over the candidate set.
+# This is what turns PQ's coarse distances into retrieval quality.
+# ---------------------------------------------------------------------------
+
+
+def rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over an ANN candidate relation (query_id, neighbor_id).
+
+    Plan: the candidate set is |queries| x R rows — broadcast it into the
+    corpus scan, so the only corpus-side work is a map-side semi-join that
+    projects the touched float vectors; the exact in-order dot folds then run
+    on |q| x R rows, never the corpus. At 100 TB the quantized index bounds
+    how much float data is ever read: R vectors per query, independent of N.
+
+    Returns (query_id, neighbor_id, rank, sim) — same contract as
+    ``cosine_topk``, deterministic tie-break (sim DESC, neighbor_id ASC)."""
+    from pyspark.sql import Window as W
+
+    cand = candidates.select("query_id", "neighbor_id")
+    nvec = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        nvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("sim", F.round(_dot(F.col("q_vec"), F.col("n_vec")), 4) + F.lit(0.0))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ candidate generation + exact refine (FAISS ``PQy,RFlat``): ADC
+    proposes the top ``rerank`` candidates from integer code scoring, then
+    ``rerank_topk`` consults the float vectors for exactly those rows.
+
+    The two stages keep their own scale shapes — the ADC stage never reads a
+    float corpus vector, the refine stage reads ``rerank`` vectors per query
+    — so the composition restores exact-ranking quality at quantized-scan
+    cost."""
+    cand = pq_adc_topk(
+        embeddings,
+        queries,
+        k=rerank,
+        m=m,
+        n_codes=n_codes,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=codebooks,
+        codes=codes,
+    ).select("query_id", "neighbor_id")
+    return rerank_topk(embeddings, queries, cand, k=k, id_col=id_col, vec_col=vec_col)

@@ -234,6 +234,49 @@ def test_pq_codes_and_adc_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.15
 
 
+def test_pq_rerank_refine(spark):
+    """Refine contract (FAISS IndexRefineFlat): (a) with rerank >= corpus the
+    candidate stage proposes everything, so the refined top-k EQUALS exact
+    cosine top-k row-for-row; (b) at practical rerank the refined recall is
+    at least the raw ADC recall — the exact re-score can only fix orderings,
+    never lose a candidate ADC found."""
+    from debezium_connector_cassandra_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_codebooks_kmeans,
+        pq_encode,
+        pq_rerank_topk,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.where(F.col("vec_id").between(20, 31))
+    cb_t = pq_codebooks_kmeans(embs, m=8, n_iters=2)
+    codes_t = pq_encode(embs, cb_t, m=8)
+
+    n = embs.count()
+    refined_all = pq_rerank_topk(
+        embs, queries, k=5, rerank=n, m=8, codebooks=cb_t, codes=codes_t
+    ).collect()
+    exact_rows = cosine_topk(embs, queries, k=5).collect()
+    assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in refined_all) == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in exact_rows
+    )
+
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adc, refined = {}, {}
+    for r in pq_adc_topk(embs, queries, k=5, m=8, codebooks=cb_t, codes=codes_t).collect():
+        adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in pq_rerank_topk(
+        embs, queries, k=5, rerank=50, m=8, codebooks=cb_t, codes=codes_t
+    ).collect():
+        refined.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    r_adc = sum(len(exact[q] & adc[q]) for q in exact) / (5 * len(exact))
+    r_ref = sum(len(exact[q] & refined[q]) for q in exact) / (5 * len(exact))
+    assert r_ref >= r_adc
+
+
 def test_sq8_near_exact_recall(spark):
     """SQ8 contract: uint8 per-dimension codes are the near-exact tier —
     top-5 from decoded codes must equal exact cosine top-5 almost

@@ -114,6 +114,20 @@ def test_batch_mutations_measures_explode_apply_only(spark, queries):
     assert _count(batch, "Exchange") <= _count(full, "Exchange") + 1
 
 
+def test_pq_rerank_refine_plan_shape(spark, queries):
+    """The refine stage must reach the float vectors through broadcast
+    equi-joins on the candidate set (|q| x R rows) — the only nested-loop
+    joins allowed are the two against the broadcast m*n_codes codebook (the
+    q x cb LUT build and the corpus x cb encode scoring — both bounded by
+    the 64-row codebook side). A corpus-side cartesian would mean the
+    re-rank reads float vectors for the whole corpus, defeating the
+    quantized index."""
+    plan = _plan(spark, queries["emb_pq_rerank_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 2
+    assert _count(plan, "BroadcastHashJoin") >= 2  # cand->corpus, cand->query
+
+
 def test_decode_envelope_is_map_only(spark, queries):
     """D11 envelope construction is a pure scan-project plan: no exchange,
     no aggregate, no join — decode stays at scan speed."""
