@@ -1272,6 +1272,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_sample_stratified"] = docs_sample_stratified
 
+    def docs_dup_gram_fraction(spark, sf_dir):
+        # cross-document span duplication: fraction of a doc's 13-grams
+        # that occur in other documents (the exact-substring-dedup signal);
+        # injected exact/near duplicates surface as dup_frac ~1.0
+        from debezium_connector_cassandra_spark.operators.text_dedup import (
+            duplicated_gram_fraction,
+        )
+
+        return duplicated_gram_fraction(_corpus(spark, sf_dir), n=13)
+
+    q["docs_dup_gram_fraction"] = docs_dup_gram_fraction
+
     def docs_repetition(spark, sf_dir):
         # Gopher-style intra-doc repetition signals over the corpus plus
         # injected triple-repeated docs
@@ -2268,6 +2280,24 @@ bg AS (
 SELECT doc_id, count(DISTINCT gram) AS n_shared_grams,
        count(DISTINCT bench_id) AS n_bench_docs
 FROM dg JOIN bg USING (gram) GROUP BY 1
+"""
+
+    o["docs_dup_gram_fraction"] = CORPUS + r"""
+, dt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS gram
+  FROM dt, generate_series(1, 2000) t(i) WHERE i + 12 <= len(toks)
+),
+dup_grams AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup_grams
+  FROM dg WHERE gram IN (SELECT gram FROM dup_grams) GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+       round(COALESCE(d.n_dup_grams, 0) * 1.0 / t.n_grams, 4) AS dup_frac
+FROM tot t LEFT JOIN dup d USING (doc_id)
 """
 
     o["docs_sample_stratified"] = f"""

@@ -294,6 +294,47 @@ def contamination_check(
     )
 
 
+def duplicated_gram_fraction(
+    docs: DataFrame,
+    n: int = 13,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of word n-grams that also occur in other
+    documents — the cross-document span-duplication signal behind exact
+    substring dedup in LM training pipelines: a document whose grams are
+    mostly shared is boilerplate or near-copied content even when no single
+    pairwise near-dup match fires. Returns (doc_id, n_grams, n_dup_grams,
+    dup_frac) for documents with at least one n-gram.
+
+    100 TB shape: per-gram document frequency is ONE hash aggregate with
+    map-side combine; the duplicated-gram set joins back as a LEFT SEMI join
+    (no fan-out by df, hot boilerplate grams cost one probe per occurrence);
+    the per-doc counts are keyed aggregations. No all-pairs joins anywhere.
+    """
+    grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gram")
+    )
+    tot = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    dup = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    n_dup = F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long"))
+    return tot.join(dup, id_col, "left").select(
+        id_col,
+        "n_grams",
+        n_dup.alias("n_dup_grams"),
+        F.round(n_dup / F.col("n_grams"), 4).alias("dup_frac"),
+    )
+
+
 def deterministic_sample(
     docs: DataFrame,
     rate: float | None = None,

@@ -75,6 +75,22 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert not any(3 in p for p in pairs)  # unrelated doc untouched
 
 
+def test_duplicated_gram_fraction(spark):
+    """DOCS: docs 0/1 are exact dups (every 4-gram shared -> frac 1.0), doc 2
+    shares 0/1's grams until its extra tail, doc 3 shares nothing (0.0);
+    min_df counts DOCUMENTS, so intra-doc repetition alone never fires."""
+    from debezium_connector_cassandra_spark.operators.text_dedup import (
+        duplicated_gram_fraction,
+    )
+
+    docs = spark.createDataFrame(DOCS)
+    out = {r["doc_id"]: r for r in duplicated_gram_fraction(docs, n=4).collect()}
+    assert out[0]["dup_frac"] == 1.0 and out[1]["dup_frac"] == 1.0
+    assert 0.0 < out[2]["dup_frac"] < 1.0
+    assert out[3]["dup_frac"] == 0.0
+    assert out[0]["n_grams"] == out[0]["n_dup_grams"]
+
+
 def test_minhash_lsh_candidates(spark):
     docs = spark.createDataFrame(DOCS)
     cands = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in minhash_lsh_candidates(docs).collect()}
