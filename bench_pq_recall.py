@@ -148,6 +148,11 @@ def main() -> None:
         "(codes preserve component identity exactly). The operators "
         "demonstrate real retrieval quality where structure exists, not "
         "just plan shape."
+        + " The rerank_refine rows close the loop: exact re-scoring of "
+        + "ADC's top-R candidates (pq_rerank_topk, the FAISS RFlat refine) "
+        + "restores recall@5 to 0.9 at R=50 even on the near-random corpus "
+        + "and to 1.0 on both clustered corpora at R=20-50 — quantized-scan "
+        + "cost, exact-rank quality."
     )
     with open("BENCH/pq_recall.json", "w") as f:
         json.dump(out, f, indent=1)
