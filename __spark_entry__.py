@@ -1481,6 +1481,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_pq_rerank_topk"] = emb_pq_rerank_topk
 
+    def emb_ivf_pq_rerank_topk(spark, sf_dir):
+        # the complete production stack: IVF coarse probe bounds the slice,
+        # PQ codes bound the scan inside it, the refine bounds float reads
+        # to rerank vectors per query — exact-rank results at quantized cost
+        from debezium_connector_cassandra_spark.operators.similarity import (
+            ivf_pq_rerank_topk,
+        )
+
+        embs = _embs(spark, sf_dir)
+        return ivf_pq_rerank_topk(
+            embs, embs.where(F.col("vec_id") < 8), k=5, rerank=20, n_probe=4
+        )
+
+    q["emb_ivf_pq_rerank_topk"] = emb_ivf_pq_rerank_topk
+
     def emb_near_dups(spark, sf_dir):
         from debezium_connector_cassandra_spark.operators.similarity import (
             embedding_near_dups,
@@ -2891,6 +2906,30 @@ SELECT query_id, neighbor_id, CAST(rank AS int) AS rank,
        CAST(d4_sum AS double) / 10000.0 AS adc_dist
 FROM ranked WHERE rank <= 5
 """
+
+    # the composed-stack refine oracle shares every CTE with emb_ivf_pq_topk
+    # up to the ADC ranking; only the tail differs (top-20 candidates ->
+    # exact re-rank), so derive it instead of duplicating 60 lines
+    o["emb_ivf_pq_rerank_topk"] = o["emb_ivf_pq_topk"].replace(
+        """SELECT query_id, neighbor_id, CAST(rank AS int) AS rank,
+       CAST(d4_sum AS double) / 10000.0 AS adc_dist
+FROM ranked WHERE rank <= 5""",
+        f""", cand2 AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 20),
+exact AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({DOT.format(a="q.qv", b="e.embedding")}, 4) + 0.0 AS sim
+  FROM cand2 c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM exact
+)
+SELECT query_id, neighbor_id, CAST(rank AS int) AS rank, sim
+FROM rr WHERE rank <= 5""",
+    )
 
     o["emb_near_dups"] = f"""
 WITH banded AS ({BANDED}),

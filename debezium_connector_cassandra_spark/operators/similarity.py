@@ -967,3 +967,45 @@ def pq_rerank_topk(
         codes=codes,
     ).select("query_id", "neighbor_id")
     return rerank_topk(embeddings, queries, cand, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_pq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 20,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """The complete production retrieval stack (FAISS ``IVFx,PQy`` + refine):
+    coarse probe bounds WHICH corpus slice is touched (n_probe/n_centroids),
+    PQ codes bound WHAT is read inside it (m longs/vector, broadcast LUT
+    scoring), and the refine stage bounds the float reads to ``rerank``
+    vectors per query. Each tier's cost is independent of corpus size except
+    through the probed-list length — the billion-vector query shape.
+
+    Returns (query_id, neighbor_id, rank, sim) with exact similarity."""
+    cand = ivf_pq_topk(
+        embeddings,
+        queries,
+        k=rerank,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        m=m,
+        n_codes=n_codes,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        codebooks=codebooks,
+        codes=codes,
+    ).select("query_id", "neighbor_id")
+    return rerank_topk(embeddings, queries, cand, k=k, id_col=id_col, vec_col=vec_col)

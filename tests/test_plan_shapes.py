@@ -49,6 +49,9 @@ def test_no_cartesian_anywhere(spark, queries):
         "emb_ivf_assign",
         "emb_ivf_topk",
         "emb_ivf_pq_topk",
+        "emb_ivf_pq_rerank_topk",
+        "emb_pq_rerank_topk",
+        "docs_dup_gram_fraction",
         "emb_near_dups",
     ):
         plan = _plan(spark, queries[name](spark, SF_DIR))
