@@ -1330,6 +1330,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_langid"] = docs_langid
 
+    def docs_token_stats(spark, sf_dir):
+        # per-doc token accounting with the GPT-2 pretokenizer regex
+        # (whitespace words vs BPE-ish pieces + fertility). The corpus is
+        # augmented with a deterministic "versioned" variant carrying
+        # digits, punctuation, and letter-digit boundaries so every piece
+        # class (word/number/contraction/punct) actually fires.
+        from debezium_connector_cassandra_spark.functions.text import token_stats
+
+        docs = _docs(spark, sf_dir)
+        did = F.col("doc_id").cast("string")
+        versioned = docs.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" it's v"),
+                did,
+                F.lit(".2 (rev-"),
+                did,
+                F.lit(")"),
+            ).alias("text"),
+        )
+        return token_stats(docs.unionByName(versioned))
+
+    q["docs_token_stats"] = docs_token_stats
+
     def docs_fingerprint(spark, sf_dir):
         from debezium_connector_cassandra_spark.functions.text import fingerprint
 
@@ -2431,6 +2456,35 @@ SELECT doc_id,
   nu AS n_unique_tokens,
   round(CAST(nu AS double) / greatest(nt, 1), 4) AS ttr
 FROM t
+"""
+
+    # docs_token_stats: the same lookahead-free GPT-2 pretokenizer regex
+    # runs under RE2; both engines use leftmost-first alternation so the
+    # piece streams are identical (pinned piece-by-piece in
+    # tests/test_token_stats.py). Quote in the contraction branch is SQL-
+    # doubled ('').
+    o["docs_token_stats"] = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000,
+         text || ' it''s v' || CAST(doc_id AS varchar) || '.2 (rev-'
+              || CAST(doc_id AS varchar) || ')'
+  FROM documents WHERE doc_id % 10 = 3
+), p AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+') AS pieces
+  FROM corpus
+)
+SELECT doc_id, n_words,
+  len(pieces) AS n_pieces,
+  len(list_filter(pieces, x -> regexp_matches(x, '^ ?\p{L}+$'))) AS n_word_pieces,
+  len(list_filter(pieces, x -> regexp_matches(x, '^ ?\p{N}+$'))) AS n_num_pieces,
+  len(list_filter(pieces, x -> regexp_matches(x, '^''(?:s|t|re|ve|m|ll|d)$'))) AS n_contraction_pieces,
+  len(list_filter(pieces, x -> regexp_matches(x, '^ ?[^\s\p{L}\p{N}]+$'))) AS n_punct_pieces,
+  round(CAST(len(pieces) AS double) / greatest(n_words, 1), 4) AS fertility
+FROM p
 """
 
     o["docs_langid"] = """

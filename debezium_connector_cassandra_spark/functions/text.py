@@ -28,14 +28,59 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+# GPT-2 pretokenizer regex (Radford et al. 2019; tiktoken's r50k_base
+# pattern), in a lookahead-free portable variant so Spark (Java regex) and
+# DuckDB (RE2) extract identical pieces: contractions first, then
+# optional-leading-space letter / digit / punctuation runs. Pure-whitespace
+# runs beyond the single attached leading space are skipped (we count
+# tokens; whitespace carries no token mass). Alternation order is load-
+# bearing — both engines use leftmost-first alternation, so 't in "don't"
+# binds as a contraction before the punctuation branch can claim the quote.
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
 def token_pieces(text: Column) -> Column:
-    """BPE-ish sub-word pieces: split on whitespace AND between letter/digit
-    boundaries — a cheap deterministic proxy for subword token counting."""
-    return F.split(F.trim(F.regexp_replace(text, r"(\d+)", r" $1 ")), r"\s+")
+    """BPE-ish sub-word pieces: the GPT-2 pretokenization pass. ``"msg c123
+    t4"`` -> ``["msg", " c", "123", " t", "4"]`` — letter/digit boundaries
+    split, contractions split, punctuation runs kept whole, leading space
+    attached to the piece (the signature GPT-2 behavior). Map-only Catalyst
+    expression: runs at scan speed, no Python."""
+    return F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), F.lit(0))
 
 
 def n_tokens(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+def n_token_pieces(text: Column) -> Column:
+    """Subword-proxy token count — the number a context-length budgeter or
+    per-doc token accountant wants, vs the whitespace word count."""
+    return F.size(token_pieces(text))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token accounting: whitespace words, BPE-ish pieces, the
+    piece class mix, and fertility (pieces per word — the subword blow-up
+    factor a token-budget estimate needs). One map-only projection; the
+    piece classification is in-row array filtering over the single
+    extracted array (no second regex scan of the text, no shuffle)."""
+    t = F.col(text_col)
+    pieces = token_pieces(t)
+    n_words = n_tokens(t)
+
+    def n_class(pat: str) -> Column:
+        return F.size(F.filter(pieces, lambda p: p.rlike(pat)))
+
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size(pieces).alias("n_pieces"),
+        n_class(r"^ ?\p{L}+$").alias("n_word_pieces"),
+        n_class(r"^ ?\p{N}+$").alias("n_num_pieces"),
+        n_class(r"^'(?:s|t|re|ve|m|ll|d)$").alias("n_contraction_pieces"),
+        n_class(r"^ ?[^\s\p{L}\p{N}]+$").alias("n_punct_pieces"),
+        F.round(F.size(pieces) / F.greatest(n_words, F.lit(1)), 4).alias("fertility"),
+    )
 
 
 def stopword_hits(text: Column) -> Column:
