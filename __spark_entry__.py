@@ -93,6 +93,7 @@ _FLAT_CACHE: dict[tuple[int, str], DataFrame] = {}
 # packed logged-batch relation, cached for the same reason (see
 # cdc_batch_mutations: the pack is producer-side work, not the measured op)
 _BATCHED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_STATEFUL_CACHE: dict[tuple, str] = {}
 
 
 def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,6 +504,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cdc_streaming_metrics"] = cdc_streaming_metrics
+
+    # --- custom stateful streaming: applyInPandasWithState ------------------
+    def cdc_conv_progress(spark, sf_dir):
+        # Engine-side keyed state (NOT a batch aggregate): the derived log
+        # is spooled to a segment-partitioned parquet fixture, then drained
+        # through the applyInPandasWithState per-conversation progress
+        # operator in several micro-batches (maxFilesPerTrigger) — running
+        # totals accumulate in the state store across batches and the final
+        # emission per conversation is returned. The oracle is the same
+        # relation as one SQL groupBy over the full log, which is exactly
+        # the cumulative-emission contract being verified.
+        from debezium_connector_cassandra_spark.streaming.stateful import (
+            PROGRESS_INPUT_COLS,
+            drain_conversation_progress,
+        )
+
+        key = (id(spark), sf_dir, "conv_progress")
+        path = _STATEFUL_CACHE.get(key)
+        if path is None:
+            import tempfile
+
+            wd = tempfile.mkdtemp(prefix="cdc_stateful_")
+            (
+                derived_log(spark, sf_dir)
+                .select(*PROGRESS_INPUT_COLS)
+                .write.partitionBy("segment_id")
+                .parquet(f"{wd}/log")
+            )
+            path = wd
+            _STATEFUL_CACHE[key] = wd
+        import shutil
+
+        shutil.rmtree(f"{path}/progress_spool", ignore_errors=True)
+        shutil.rmtree(f"{path}/progress_checkpoint", ignore_errors=True)
+        return drain_conversation_progress(
+            spark, f"{path}/log", path, max_files_per_trigger=4
+        )
+
+    q["cdc_conv_progress"] = cdc_conv_progress
 
     # --- R9: schema evolution (v2 adds 'meta') ------------------------------
     def cdc_schema_evolution(spark, sf_dir):
@@ -1987,6 +2027,23 @@ SELECT concat('ks.t', CAST(log_partition AS varchar)) AS table_name,
        TRUE AS completed,
        FALSE AS running
 FROM per, tot
+"""
+    )
+
+    # cdc_conv_progress: cumulative update-mode emissions mean the final
+    # per-conversation state equals one groupBy over the whole log.
+    o["cdc_conv_progress"] = _duck(
+        """
+SELECT conv_id,
+  count(*) AS n_events,
+  CAST(sum(CASE WHEN op IN ('i','u') THEN 1 ELSE 0 END) AS bigint) AS n_upserts,
+  CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS bigint) AS n_row_deletes,
+  CAST(sum(CASE WHEN op = 'p' THEN 1 ELSE 0 END) AS bigint) AS n_part_deletes,
+  CAST(sum(CASE WHEN op = 'r' THEN 1 ELSE 0 END) AS bigint) AS n_markers,
+  max(writetime) AS max_writetime,
+  max(CASE WHEN op IN ('i','u','d') THEN turn_idx END) AS max_turn,
+  max(segment_id) AS last_segment
+FROM m GROUP BY conv_id
 """
     )
 
