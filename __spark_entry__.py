@@ -96,6 +96,37 @@ _BATCHED_CACHE: dict[tuple[int, str], DataFrame] = {}
 _STATEFUL_CACHE: dict[tuple, str] = {}
 
 
+def _stateful_log_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Narrow derived-log parquet spooled once per (session, sf_dir) for the
+    streaming-state queries: one file per segment (repartition on the
+    partition column) with ascending per-segment mtimes so the file source
+    delivers segments in creation order — the live-tail arrival pattern
+    both stateful queries assume (see windowed.stamp_segment_order)."""
+    key = (id(spark), sf_dir, "stateful_log")
+    path = _STATEFUL_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        from debezium_connector_cassandra_spark.streaming.stateful import (
+            PROGRESS_INPUT_COLS,
+        )
+        from debezium_connector_cassandra_spark.streaming.windowed import (
+            stamp_segment_order,
+        )
+
+        path = tempfile.mkdtemp(prefix="cdc_stateful_")
+        (
+            derived_log(spark, sf_dir)
+            .select(*PROGRESS_INPUT_COLS)
+            .repartition("segment_id")
+            .write.partitionBy("segment_id")
+            .parquet(f"{path}/log")
+        )
+        stamp_segment_order(f"{path}/log")
+        _STATEFUL_CACHE[key] = path
+    return path
+
+
 def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     cached = _FLAT_CACHE.get(key)
@@ -516,24 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relation as one SQL groupBy over the full log, which is exactly
         # the cumulative-emission contract being verified.
         from debezium_connector_cassandra_spark.streaming.stateful import (
-            PROGRESS_INPUT_COLS,
             drain_conversation_progress,
         )
 
-        key = (id(spark), sf_dir, "conv_progress")
-        path = _STATEFUL_CACHE.get(key)
-        if path is None:
-            import tempfile
-
-            wd = tempfile.mkdtemp(prefix="cdc_stateful_")
-            (
-                derived_log(spark, sf_dir)
-                .select(*PROGRESS_INPUT_COLS)
-                .write.partitionBy("segment_id")
-                .parquet(f"{wd}/log")
-            )
-            path = wd
-            _STATEFUL_CACHE[key] = wd
+        path = _stateful_log_fixture(spark, sf_dir)
         import shutil
 
         shutil.rmtree(f"{path}/progress_spool", ignore_errors=True)
@@ -543,6 +560,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cdc_conv_progress"] = cdc_conv_progress
+
+    # --- watermarked event-time windowed aggregation -------------------------
+    def cdc_change_rate(spark, sf_dir):
+        # Change events per event-time day per mutation class through the
+        # streaming windowed groupBy + watermark, drained over in-order
+        # segment delivery (stamp_segment_order) in several micro-batches.
+        # Update-mode cumulative emission -> final counts equal one batch
+        # groupBy, which is the oracle; the watermark covers the producer's
+        # bounded writetime inversion so nothing is dropped as late.
+        from debezium_connector_cassandra_spark.streaming.windowed import (
+            drain_change_rate,
+        )
+
+        path = _stateful_log_fixture(spark, sf_dir)
+        import shutil
+
+        shutil.rmtree(f"{path}/rate_spool", ignore_errors=True)
+        shutil.rmtree(f"{path}/rate_checkpoint", ignore_errors=True)
+        return drain_change_rate(
+            spark,
+            f"{path}/log",
+            path,
+            window_duration="1 day",
+            watermark_delay="1 hour",
+            max_files_per_trigger=2,
+        )
+
+    q["cdc_change_rate"] = cdc_change_rate
 
     # --- R9: schema evolution (v2 adds 'meta') ------------------------------
     def cdc_schema_evolution(spark, sf_dir):
@@ -2044,6 +2089,18 @@ SELECT conv_id,
   max(CASE WHEN op IN ('i','u','d') THEN turn_idx END) AS max_turn,
   max(segment_id) AS last_segment
 FROM m GROUP BY conv_id
+"""
+    )
+
+    # cdc_change_rate: Spark's tumbling "1 day" windows align to the epoch,
+    # so window_start_us is writetime floored to the day in microseconds.
+    o["cdc_change_rate"] = _duck(
+        """
+SELECT (writetime - writetime % 86400000000) AS window_start_us,
+       (writetime - writetime % 86400000000) + 86400000000 AS window_end_us,
+       op,
+       count(*) AS n
+FROM m GROUP BY 1, 2, 3
 """
     )
 

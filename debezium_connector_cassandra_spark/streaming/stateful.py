@@ -120,36 +120,40 @@ def conversation_progress(stream_df: DataFrame) -> DataFrame:
     )
 
 
-def drain_conversation_progress(
-    spark: SparkSession,
-    log_path: str,
-    work_dir: str,
-    max_files_per_trigger: int | None = None,
+def log_stream(
+    spark: SparkSession, log_path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Drain a commit-log directory through the stateful operator
-    (availableNow) and return the FINAL per-conversation progress relation.
-
-    Every batch's update-mode emissions append to a parquet spool tagged
-    with the micro-batch id; the final state per conversation is the
-    emission from its highest batch (running totals are cumulative), picked
-    with one struct-max aggregate — all distributed, no driver-side state.
-    """
-    stream = spark.readStream.schema(
-        spark.read.parquet(log_path).schema
-    )
+    """File-source readStream over a parquet commit-log directory (schema
+    probed from the static read, as the front-ends do)."""
+    stream = spark.readStream.schema(spark.read.parquet(log_path).schema)
     if max_files_per_trigger is not None:
         stream = stream.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = stream.parquet(log_path)
+    return stream.parquet(log_path)
 
-    spool = f"{work_dir}/progress_spool"
-    checkpoint = f"{work_dir}/progress_checkpoint"
+
+def spool_drain_latest(
+    rel: DataFrame,
+    work_dir: str,
+    key_cols: list[str],
+    output_mode: str = "update",
+    name: str = "spool",
+) -> DataFrame:
+    """Drain a streaming relation (availableNow) and return the LATEST
+    emission per key. Every batch's emissions append to a parquet spool
+    tagged with the micro-batch id; the final row per key is the one from
+    its highest batch, picked with one struct-max aggregate — all
+    distributed, no driver-side state. Correct whenever later emissions
+    supersede earlier ones for the same key (update-mode cumulative state,
+    windowed running counts)."""
+    spark = rel.sparkSession
+    spool = f"{work_dir}/{name}_spool"
+    checkpoint = f"{work_dir}/{name}_checkpoint"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.withColumn("_bid", F.lit(batch_id)).write.mode("append").parquet(spool)
 
     q = (
-        conversation_progress(src)
-        .writeStream.outputMode("update")
+        rel.writeStream.outputMode(output_mode)
         .foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -158,8 +162,23 @@ def drain_conversation_progress(
     q.awaitTermination()
 
     out = spark.read.parquet(spool)
-    val_cols = [c for c in out.columns if c not in ("conv_id", "_bid")]
-    latest = out.groupBy("conv_id").agg(
-        F.max(F.struct("_bid", *val_cols)).alias("w")
+    val_cols = [c for c in out.columns if c not in (*key_cols, "_bid")]
+    latest = out.groupBy(*key_cols).agg(F.max(F.struct("_bid", *val_cols)).alias("w"))
+    return latest.select(
+        *key_cols, *[F.col(f"w.{c}").alias(c) for c in val_cols]
     )
-    return latest.select("conv_id", *[F.col(f"w.{c}").alias(c) for c in val_cols])
+
+
+def drain_conversation_progress(
+    spark: SparkSession,
+    log_path: str,
+    work_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain a commit-log directory through the stateful operator
+    (availableNow) and return the FINAL per-conversation progress relation
+    (running totals are cumulative, so latest emission per conv == total)."""
+    src = log_stream(spark, log_path, max_files_per_trigger)
+    return spool_drain_latest(
+        conversation_progress(src), work_dir, ["conv_id"], name="progress"
+    )
