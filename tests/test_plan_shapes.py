@@ -139,3 +139,49 @@ def test_decode_envelope_is_map_only(spark, queries):
     # (BroadcastHashJoin, HashAggregate, ...) in one sweep
     for op in ("Exchange", "Join", "Aggregate", "Window", "CartesianProduct"):
         assert op not in plan, op
+
+
+def test_stateful_streaming_plan_shapes(spark, tmp_path_factory):
+    """The two engine-side streaming state operators keep their scale shape:
+
+    - conversation_progress: column pruning BEFORE the one keyed Exchange
+      into FlatMapGroupsInPandasWithState (the state op's shuffle carries
+      only the 5 narrow columns, never cells/range structs);
+    - change_rate_stream: a PARTIAL HashAggregate before the window-key
+      Exchange (map-side combine — per-partition counts, not raw events,
+      cross the wire) feeding the StateStore save/restore pair.
+
+    Both: exactly one Exchange, no joins, no cartesian."""
+    from debezium_connector_cassandra_spark.sources.generator import (
+        gen_mutation_log,
+        write_mutation_log,
+    )
+    from debezium_connector_cassandra_spark.streaming.stateful import (
+        conversation_progress,
+        log_stream,
+    )
+    from debezium_connector_cassandra_spark.streaming.windowed import (
+        change_rate_stream,
+    )
+
+    wd = str(tmp_path_factory.mktemp("plans_stream"))
+    log = gen_mutation_log(spark, 400, n_convs=10, events_per_segment=200, seed=5)
+    write_mutation_log(log, f"{wd}/log")
+    src = log_stream(spark, f"{wd}/log")
+
+    prog = _plan(spark, conversation_progress(src))
+    assert _count(prog, "Exchange") == 1
+    assert _count(prog, "FlatMapGroupsInPandasWithState") == 1
+    assert "Join" not in prog and "CartesianProduct" not in prog
+    # the Project feeding the Exchange carries the narrow columns only
+    assert re.search(r"\(\d+\) Exchange\nInput \[5\]", prog), "shuffle not pruned to 5 cols"
+
+    rate = _plan(spark, change_rate_stream(src))
+    assert _count(rate, "Exchange") == 1
+    assert _count(rate, "StateStoreSave") == 1
+    assert "Join" not in rate and "CartesianProduct" not in rate
+    # partial aggregate upstream (tree-wise below) the exchange = map-side
+    # combine: per-partition counts, not raw events, cross the wire
+    tree = rate.split("\n\n")[0]
+    below_exchange = tree.split("Exchange")[-1]
+    assert "HashAggregate" in below_exchange, "no partial count before the window-key exchange"
