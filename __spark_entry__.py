@@ -589,6 +589,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_change_rate"] = cdc_change_rate
 
+    # --- session windows: conversation sessionization ------------------------
+    def cdc_conv_sessions(spark, sf_dir):
+        # inactivity-gap sessionization with F.session_window (merging
+        # windows, partial-merged map-side — no per-conv sort); the oracle
+        # is the lag()-based gaps-and-islands formulation the operator
+        # deliberately avoids at scale. Tie rule pinned in
+        # test_windowed.py: a gap-exact successor stays IN the session
+        # (break only when diff > gap).
+        from debezium_connector_cassandra_spark.streaming.windowed import (
+            conversation_sessions,
+        )
+
+        return conversation_sessions(derived_log(spark, sf_dir), gap="6 hours")
+
+    q["cdc_conv_sessions"] = cdc_conv_sessions
+
     # --- R9: schema evolution (v2 adds 'meta') ------------------------------
     def cdc_schema_evolution(spark, sf_dir):
         log = derived_log(spark, sf_dir, include_meta=True).where(F.col("op").isin("i", "u"))
@@ -2101,6 +2117,29 @@ SELECT (writetime - writetime % 86400000000) AS window_start_us,
        op,
        count(*) AS n
 FROM m GROUP BY 1, 2, 3
+"""
+    )
+
+    # cdc_conv_sessions: gaps-and-islands twin of F.session_window. Break
+    # strictly-greater-than gap (a gap-exact successor merges — pinned).
+    o["cdc_conv_sessions"] = _duck(
+        """
+, x AS (
+  SELECT conv_id, writetime,
+         CASE WHEN writetime - lag(writetime) OVER (PARTITION BY conv_id ORDER BY writetime)
+              > 21600000000 THEN 1 ELSE 0 END AS brk
+  FROM m
+), y AS (
+  SELECT conv_id, writetime,
+         sum(brk) OVER (PARTITION BY conv_id ORDER BY writetime
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT conv_id,
+       min(writetime) AS session_start_us,
+       max(writetime) AS session_end_us,
+       count(*) AS n_events
+FROM y GROUP BY conv_id, sid
 """
     )
 

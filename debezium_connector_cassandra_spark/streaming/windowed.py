@@ -90,6 +90,37 @@ def change_rate_stream(
     )
 
 
+def conversation_sessions(
+    df: DataFrame, gap: str = "6 hours"
+) -> DataFrame:
+    """Sessionize each conversation by event-time inactivity: consecutive
+    events closer than ``gap`` belong to one session (`F.session_window`,
+    the merging-window operator — works over batch AND streaming input).
+    Returns (conv_id, session_start_us, session_end_us, n_events) with the
+    bounds as the session's actual first/last event writetime (not the
+    gap-padded window end), so the relation is gap-parameter-free on the
+    way out and oracle-checkable with a lag()-based gaps-and-islands
+    formulation.
+
+    Scale shape: one shuffle on (conv_id, session_window); Spark merges
+    session fragments in the aggregate (partial merge map-side), so hot
+    conversations don't serialize through a single window function the way
+    a lag()-over-conv_id formulation would — that per-key sort is exactly
+    what the oracle uses and the operator avoids."""
+    src = df.withColumn("event_ts", F.timestamp_micros(F.col("writetime")))
+    return (
+        src.groupBy(
+            F.session_window("event_ts", gap).alias("w"), "conv_id"
+        )
+        .agg(
+            F.min("writetime").alias("session_start_us"),
+            F.max("writetime").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .select("conv_id", "session_start_us", "session_end_us", "n_events")
+    )
+
+
 def drain_change_rate(
     spark: SparkSession,
     log_path: str,

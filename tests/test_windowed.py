@@ -122,3 +122,37 @@ def test_unordered_backfill_with_tight_watermark_loses_data(spark, rate_fixture)
     ).toPandas()
     assert got["n"].sum() <= expected["n"].sum()
     stamp_segment_order(f"{wd}/log")  # restore for any later test
+
+
+def test_session_window_tie_and_split_semantics(spark):
+    """Pins the session boundary rule conversation_sessions relies on (and
+    the cdc_conv_sessions oracle mirrors): a successor exactly ONE gap
+    after its predecessor merges into the session; strictly beyond the gap
+    starts a new one."""
+    from debezium_connector_cassandra_spark.streaming.windowed import (
+        conversation_sessions,
+    )
+
+    gap_us = 3_600_000_000
+    rows = [
+        ("c1", 0),
+        ("c1", gap_us - 1),          # inside -> merges
+        ("c1", 3 * gap_us - 1),      # diff 2*gap  -> splits
+        ("c2", 0),
+        ("c2", gap_us),              # diff == gap -> merges (the tie rule)
+        ("c3", 5),                   # singleton session
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, writetime long")
+    got = (
+        conversation_sessions(df, gap="1 hour")
+        .orderBy("conv_id", "session_start_us")
+        .collect()
+    )
+    assert [
+        (r.conv_id, r.session_start_us, r.session_end_us, r.n_events) for r in got
+    ] == [
+        ("c1", 0, gap_us - 1, 2),
+        ("c1", 3 * gap_us - 1, 3 * gap_us - 1, 1),
+        ("c2", 0, gap_us, 2),
+        ("c3", 5, 5, 1),
+    ]
