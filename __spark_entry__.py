@@ -550,13 +550,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             drain_conversation_progress,
         )
 
-        path = _stateful_log_fixture(spark, sf_dir)
-        import shutil
+        import tempfile
 
-        shutil.rmtree(f"{path}/progress_spool", ignore_errors=True)
-        shutil.rmtree(f"{path}/progress_checkpoint", ignore_errors=True)
+        path = _stateful_log_fixture(spark, sf_dir)
+        # fresh work dir per drain: re-using a checkpoint dir races with the
+        # state-store maintenance thread still snapshotting the previous
+        # query's state (observed FileAlreadyExistsException WARNs)
+        wd = tempfile.mkdtemp(prefix="run_", dir=path)
         return drain_conversation_progress(
-            spark, f"{path}/log", path, max_files_per_trigger=4
+            spark, f"{path}/log", wd, max_files_per_trigger=4
         )
 
     q["cdc_conv_progress"] = cdc_conv_progress
@@ -573,15 +575,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             drain_change_rate,
         )
 
-        path = _stateful_log_fixture(spark, sf_dir)
-        import shutil
+        import tempfile
 
-        shutil.rmtree(f"{path}/rate_spool", ignore_errors=True)
-        shutil.rmtree(f"{path}/rate_checkpoint", ignore_errors=True)
+        path = _stateful_log_fixture(spark, sf_dir)
+        wd = tempfile.mkdtemp(prefix="run_", dir=path)  # fresh per drain (see above)
         return drain_change_rate(
             spark,
             f"{path}/log",
-            path,
+            wd,
             window_duration="1 day",
             watermark_delay="1 hour",
             max_files_per_trigger=2,
