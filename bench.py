@@ -50,6 +50,8 @@ HEADLINE_QUERIES = [
     "cdc_batch_mutations",
     # round 5: every remaining scalar family through the full state build
     "cdc_types_scalar",
+    # round 5: session-window sessionization (merging windows, no per-key sort)
+    "cdc_conv_sessions",
 ]
 
 
