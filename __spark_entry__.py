@@ -127,6 +127,44 @@ def _stateful_log_fixture(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _dedup_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Derived log (identity columns) with a deterministic ~20% REDELIVERED
+    slice: primary segments stamped in creation order, each segment's
+    redelivered rows appended as separate files stamped 1.5 segments later —
+    the crashed-reader re-read pattern the streaming dedup exists for
+    (windowed.stamp_redelivery). Same 20% slice rule as cdc_dedup_events
+    (positions are multiples of 16, so pmod 160 < 32 keeps 2 of 10)."""
+    key = (id(spark), sf_dir, "dedup_log")
+    path = _STATEFUL_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        from debezium_connector_cassandra_spark.streaming.windowed import (
+            stamp_redelivery,
+            stamp_segment_order,
+        )
+
+        path = tempfile.mkdtemp(prefix="cdc_sdedup_")
+        cols = ["conv_id", "op", "turn_idx", "writetime", "segment_id", "position"]
+        flat = derived_log(spark, sf_dir).select(*cols)
+        (
+            flat.repartition("segment_id")
+            .write.partitionBy("segment_id")
+            .parquet(f"{path}/log")
+        )
+        stamp_segment_order(f"{path}/log")
+        dups = flat.where(F.pmod(F.col("position"), F.lit(160)) < 32)
+        (
+            dups.repartition("segment_id")
+            .write.mode("append")
+            .partitionBy("segment_id")
+            .parquet(f"{path}/log")
+        )
+        stamp_redelivery(f"{path}/log")
+        _STATEFUL_CACHE[key] = path
+    return path
+
+
 def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     cached = _FLAT_CACHE.get(key)
@@ -605,6 +643,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return conversation_sessions(derived_log(spark, sf_dir), gap="6 hours")
 
     q["cdc_conv_sessions"] = cdc_conv_sessions
+
+    # --- D2 on the streaming front-end: dropDuplicatesWithinWatermark -------
+    def cdc_stream_dedup(spark, sf_dir):
+        # At-least-once REDELIVERY across micro-batches: ~20% of each
+        # segment is re-shipped 1.5 segments later (fixture), where a
+        # per-batch distinct cannot see it. Streaming identity state (or
+        # the late gate, for redeliveries already below the watermark —
+        # delay-independent, see stream_dedup.py) collapses it; the oracle
+        # is the plain per-segment aggregate over the duplicate-free log.
+        from debezium_connector_cassandra_spark.streaming.stream_dedup import (
+            drain_dedup_stream,
+        )
+
+        import tempfile
+
+        path = _dedup_stream_fixture(spark, sf_dir)
+        wd = tempfile.mkdtemp(prefix="run_", dir=path)
+        clean = drain_dedup_stream(
+            spark, f"{path}/log", wd, watermark_delay="3 days",
+            max_files_per_trigger=4,
+        )
+        return (
+            clean.groupBy(F.col("segment_id").cast("long").alias("segment_id"))
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("conv_id").alias("n_convs"),
+                F.sum("turn_idx").alias("sum_turns"),
+                F.max("writetime").alias("max_wt"),
+            )
+        )
+
+    q["cdc_stream_dedup"] = cdc_stream_dedup
 
     # --- R9: schema evolution (v2 adds 'meta') ------------------------------
     def cdc_schema_evolution(spark, sf_dir):
@@ -2141,6 +2211,19 @@ SELECT conv_id,
        max(writetime) AS session_end_us,
        count(*) AS n_events
 FROM y GROUP BY conv_id, sid
+"""
+    )
+
+    # cdc_stream_dedup: the streaming drain removes every redelivered row
+    # (identity state or late gate), so the oracle aggregates the plain
+    # duplicate-free log per segment.
+    o["cdc_stream_dedup"] = _duck(
+        """
+SELECT segment_id, count(*) AS n, count(DISTINCT conv_id) AS n_convs,
+       CAST(sum(CASE WHEN op IN ('i','u','d') THEN turn_idx END) AS bigint)
+         AS sum_turns,
+       max(writetime) AS max_wt
+FROM m GROUP BY 1
 """
     )
 

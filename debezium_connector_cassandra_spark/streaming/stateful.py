@@ -169,6 +169,34 @@ def spool_drain_latest(
     )
 
 
+def spool_drain_append(
+    rel: DataFrame,
+    work_dir: str,
+    name: str = "spool",
+) -> DataFrame:
+    """Drain a streaming relation (availableNow, append output mode) into a
+    parquet spool and return everything emitted. For operators that emit
+    each logical row exactly once (streaming dedup, append-mode windows) —
+    no latest-per-key fold needed. The per-batch ``_bid`` tag stays in the
+    spool for tests but is dropped from the returned relation."""
+    spark = rel.sparkSession
+    spool = f"{work_dir}/{name}_spool"
+    checkpoint = f"{work_dir}/{name}_checkpoint"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_bid", F.lit(batch_id)).write.mode("append").parquet(spool)
+
+    q = (
+        rel.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(spool).drop("_bid")
+
+
 def drain_conversation_progress(
     spark: SparkSession,
     log_path: str,

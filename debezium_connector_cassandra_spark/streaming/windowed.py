@@ -67,6 +67,33 @@ def stamp_segment_order(log_path: str) -> None:
             os.utime(p, (ts, ts))
 
 
+def stamp_redelivery(log_path: str, lag: int = 15) -> None:
+    """Stamp files appended AFTER ``stamp_segment_order`` as REDELIVERIES:
+    segment k's fresh files (still carrying real-clock mtimes, far above the
+    synthetic base) get mtime ``base + k*10 + lag`` — with the default lag
+    they arrive between segments k+1 and k+2, the crashed-reader re-read
+    pattern (a reader dies after shipping segment k, restarts from its
+    pre-crash offset, re-ships rows the sink already saw). Run AFTER
+    appending the redelivered rows to an already-stamped log directory.
+
+    Driver-side loop over segment directories — bounded by segment count."""
+    import os
+    import re
+
+    base = 1_000_000_000
+    cutoff = base + 100_000_000  # stamped files sit at base+10*seg << cutoff
+    for name in os.listdir(log_path):
+        m = re.fullmatch(r"segment_id=(\d+)", name)
+        if not m:
+            continue
+        seg_dir = os.path.join(log_path, name)
+        ts = base + int(m.group(1)) * 10 + lag
+        for f in os.listdir(seg_dir):
+            p = os.path.join(seg_dir, f)
+            if os.stat(p).st_mtime > cutoff:
+                os.utime(p, (ts, ts))
+
+
 def change_rate_stream(
     stream_df: DataFrame,
     window_duration: str = "1 day",
