@@ -239,26 +239,33 @@ def _state_pipeline(log: DataFrame, payload: list[str], ops: tuple[str, ...]) ->
     """One in-memory pass of the apply heart: reduce (row deletes folded
     into the key aggregation) + conv-grain tombstone joins + finalize
     (R6/D8/D9). Mirrors plans.apply.apply_batch without the lake."""
-    opset = set(ops)
-    tombs = extract_tombstones(log)
-    tombs.row = None  # 'd' folds into the key reduction
-    tombs.partition = tombs.partition if "p" in opset else None
-    tombs.range = tombs.range if "r" in opset else None
-    reduced = reduce_events(log)
-    if opset & {"p", "r"}:
-        reduced = tomb_wt_for_keys(reduced, tombs)
-    state = drop_invisible(finalize_state(reduced))
-    return state.select("conv_id", "turn_idx", *payload)
+    from debezium_connector_cassandra_spark.operators.timetravel import (
+        materialize_state,
+    )
+
+    return materialize_state(log, payload, ops)
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL fragments (DuckDB dialect)
 # ---------------------------------------------------------------------------
 
-def _oracle_state_sql(ops: str, payload_cols: tuple[str, ...] = ("role", "text", "tool", "ts_us")) -> str:
+def _oracle_state_sql(
+    ops: str,
+    payload_cols: tuple[str, ...] = ("role", "text", "tool", "ts_us"),
+    suffix: str = "",
+    wt_cap: str | None = None,
+    as_cte: str | None = None,
+) -> str:
     """Final-state oracle: per-key max applicable tombstone writetime, then
     per-column latest surviving cell (ordered-aggregate formulation —
-    deliberately different from the engine's struct-max)."""
+    deliberately different from the engine's struct-max).
+
+    ``suffix`` renames the CTEs so two state fragments can coexist in one
+    query; ``wt_cap`` (a SQL scalar expression) caps BOTH upserts and
+    tombstones at ``writetime <= wt_cap`` (the time-travel oracle); with
+    ``as_cte`` the final select is emitted as one more named CTE instead of
+    the top-level statement."""
     col_map = {"role": "role", "text": "text", "tool": "tool", "ts_us": "ts_us", "meta": "meta"}
     sel = []
     anycell = []
@@ -278,27 +285,33 @@ def _oracle_state_sql(ops: str, payload_cols: tuple[str, ...] = ("role", "text",
         else "FALSE"
     )
     op_list = ",".join(f"'{o}'" for o in ops)
+    sfx = suffix
+    ups_cap = f" AND writetime <= ({wt_cap})" if wt_cap else ""
+    tomb_cap = f" AND t.writetime <= ({wt_cap})" if wt_cap else ""
+    final_select = f"""SELECT conv_id, turn_idx, {", ".join(col_map[c] for c in payload_cols)}
+FROM fin{sfx} WHERE live OR anycell"""
+    if as_cte:
+        tail = f",\n{as_cte} AS (\n{final_select}\n)"
+    else:
+        tail = f"\n{final_select}\n"
     return f"""
-, ups AS (SELECT * FROM m WHERE op IN ('i','u') AND op IN ({op_list})),
-keys AS (SELECT DISTINCT conv_id, turn_idx FROM ups),
-tomb AS (
+, ups{sfx} AS (SELECT * FROM m WHERE op IN ('i','u') AND op IN ({op_list}){ups_cap}),
+keys{sfx} AS (SELECT DISTINCT conv_id, turn_idx FROM ups{sfx}),
+tomb{sfx} AS (
   SELECT k.conv_id, k.turn_idx, max(t.writetime) AS tomb_wt
-  FROM keys k JOIN m t ON t.conv_id = k.conv_id
+  FROM keys{sfx} k JOIN m t ON t.conv_id = k.conv_id
    AND t.op IN ({op_list})
-   AND ({d_pred} OR {p_pred} OR {r_pred})
+   AND ({d_pred} OR {p_pred} OR {r_pred}){tomb_cap}
   GROUP BY 1, 2
 ),
-fin AS (
+fin{sfx} AS (
   SELECT u.conv_id, u.turn_idx,
     {", ".join(sel)},
     bool_or(u.op = 'i' AND u.writetime > coalesce(t.tomb_wt, -1)) AS live,
     ({" OR ".join(anycell)}) AS anycell
-  FROM ups u LEFT JOIN tomb t USING (conv_id, turn_idx)
+  FROM ups{sfx} u LEFT JOIN tomb{sfx} t USING (conv_id, turn_idx)
   GROUP BY 1, 2
-)
-SELECT conv_id, turn_idx, {", ".join(col_map[c] for c in payload_cols)}
-FROM fin WHERE live OR anycell
-"""
+){tail}"""
 
 
 def _duck(body: str) -> str:
@@ -411,6 +424,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cdc_partition_deletes"] = _mk_state(("i", "u", "d", "p"))
     q["cdc_range_tombstones"] = _mk_state(("i", "u", "r"))
     q["cdc_full_state"] = _mk_state(("i", "u", "d", "p", "r"))
+
+    # --- time travel: replay the log only up to a writetime horizon ---------
+    def cdc_state_asof(spark, sf_dir):
+        # event-time fold => replaying the prefix writetime <= T reproduces
+        # the state at instant T (RecordMaker.java:58-96 ts assignment).
+        # Horizon = the 3/4 point of the writetime span, derived with exact
+        # integer arithmetic so the DuckDB oracle lands on the same long.
+        from debezium_connector_cassandra_spark.operators.timetravel import (
+            state_asof,
+            writetime_horizon,
+        )
+
+        log = derived_log(spark, sf_dir)
+        return state_asof(log, writetime_horizon(log, 3, 4), payload)
+
+    q["cdc_state_asof"] = cdc_state_asof
+
+    # --- snapshot diff: derive the changelog between two states -------------
+    def cdc_snapshot_diff(spark, sf_dir):
+        # the inverse of apply: the minimal c/u/d stream transforming the
+        # as-of-T state into the final state (DBLog-style incremental
+        # snapshot window / Iceberg changelog-view semantics). One
+        # full-outer SMJ on the key; diff rows carry the after-image.
+        from debezium_connector_cassandra_spark.operators.timetravel import (
+            snapshot_diff,
+            state_asof,
+            writetime_horizon,
+        )
+
+        log = derived_log(spark, sf_dir)
+        before = state_asof(log, writetime_horizon(log, 3, 4), payload)
+        after = _state_pipeline(log, payload, ("i", "u", "d", "p", "r"))
+        return snapshot_diff(before, after, ["conv_id", "turn_idx"], payload)
+
+    q["cdc_snapshot_diff"] = cdc_snapshot_diff
+
+    # --- transcript assembly: state -> ordered per-conversation documents ---
+    def cdc_transcript_assembly(spark, sf_dir):
+        from debezium_connector_cassandra_spark.operators.transcript import (
+            assemble_transcripts,
+        )
+
+        log = derived_log(spark, sf_dir)
+        state = _state_pipeline(log, payload, ("i", "u", "d", "p", "r"))
+        return assemble_transcripts(state)
+
+    q["cdc_transcript_assembly"] = cdc_transcript_assembly
 
     # --- logged-batch mutations: atomic multi-change records ----------------
     def cdc_batch_mutations(spark, sf_dir):
@@ -1444,6 +1504,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["docs_sample_stratified"] = docs_sample_stratified
 
+    # --- corpus assembly: sequence packing ---------------------------------
+    def docs_pack_sequences(spark, sf_dir):
+        # greedy-contiguous packing into ~256-token shards (docs never
+        # split; bucketed windows — no global sort). Output = per-pack
+        # manifest a training data loader reads shard-at-a-time.
+        from debezium_connector_cassandra_spark.operators.corpus import (
+            pack_sequences,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        packed = pack_sequences(docs, budget_tokens=256, n_buckets=16)
+        return packed.groupBy("bucket", "pack_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+
+    q["docs_pack_sequences"] = docs_pack_sequences
+
+    # --- corpus assembly: data-mix rebalancing ------------------------------
+    def docs_source_mix(spark, sf_dir):
+        # downsample every language to the smallest language's size in a
+        # deterministic hash order (exact-proportion seedless sample) —
+        # the mix-rebalancing stage of a pretraining pipeline.
+        from debezium_connector_cassandra_spark.operators.corpus import (
+            rebalance_corpus,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return rebalance_corpus(docs, group_col="lang")
+
+    q["docs_source_mix"] = docs_source_mix
+
     def docs_dup_gram_fraction(spark, sf_dir):
         # cross-document span duplication: fraction of a doc's 13-grams
         # that occur in other documents (the exact-substring-dedup signal);
@@ -1827,6 +1921,55 @@ FROM m GROUP BY 1
     # splitting + re-pairing bound markers must reconstruct the exact
     # paired-log semantics, so the oracle IS the full-state oracle
     o["cdc_unpaired_markers"] = _duck(_oracle_state_sql("iudpr"))
+
+    # time-travel horizon: the 3/4 point of the writetime span via exact
+    # 64-bit arithmetic (span*3 < 2^53, and (x - x%4)/4 is an exact double)
+    _HZ = (
+        ", hz AS (SELECT min(writetime) + CAST("
+        "((max(writetime)-min(writetime))*3 - ((max(writetime)-min(writetime))*3) % 4)"
+        " / 4 AS bigint) AS h FROM m)"
+    )
+    o["cdc_state_asof"] = _duck(
+        _HZ + _oracle_state_sql("iudpr", wt_cap="SELECT h FROM hz")
+    )
+
+    # snapshot diff: two state fragments (as-of-T and final) full-outer
+    # joined on the key; emit only c/u/d rows with the after-image
+    o["cdc_snapshot_diff"] = _duck(
+        _HZ
+        + _oracle_state_sql(
+            "iudpr", suffix="_a", wt_cap="SELECT h FROM hz", as_cte="st_a"
+        )
+        + _oracle_state_sql("iudpr", suffix="_b", as_cte="st_b")
+        + """
+SELECT coalesce(b.conv_id, a.conv_id) AS conv_id,
+       coalesce(b.turn_idx, a.turn_idx) AS turn_idx,
+       CASE WHEN a.conv_id IS NULL THEN 'c'
+            WHEN b.conv_id IS NULL THEN 'd'
+            ELSE 'u' END AS diff_op,
+       b.role, b.text, b.tool, b.ts_us
+FROM st_a a FULL OUTER JOIN st_b b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+   OR (a.role IS DISTINCT FROM b.role)
+   OR (a.text IS DISTINCT FROM b.text)
+   OR (a.tool IS DISTINCT FROM b.tool)
+   OR (a.ts_us IS DISTINCT FROM b.ts_us)
+"""
+    )
+
+    # transcript assembly over the final state (ordered string_agg twin of
+    # the engine's array_sort(collect_list) fold)
+    o["cdc_transcript_assembly"] = _duck(
+        _oracle_state_sql("iudpr", as_cte="st")
+        + """
+SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS last_turn,
+  CAST(sum(length(coalesce(text, ''))) AS bigint) AS total_chars,
+  string_agg(concat(coalesce(role, '?'), ': ', coalesce(text, '')),
+             chr(10) ORDER BY turn_idx) AS transcript
+FROM st GROUP BY 1
+"""
+    )
 
     # collections: the oracle computes the stringified winners directly
     # (the engine carries real array/struct cells end-to-end)
@@ -2722,6 +2865,39 @@ SELECT doc_id, n_words,
   len(list_filter(pieces, x -> regexp_matches(x, '^ ?[^\s\p{L}\p{N}]+$'))) AS n_punct_pieces,
   round(CAST(len(pieces) AS double) / greatest(n_words, 1), 4) AS fertility
 FROM p
+"""
+
+    # sequence packing: bucketed cumulative token mass, pack boundary at
+    # every 256 tokens ((x - x%256)/256 is an exact double under 2^53)
+    o["docs_pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id, CAST(doc_id % 16 AS int) AS bucket,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS bigint) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM t
+)
+SELECT bucket, CAST((cumb - cumb % 256) / 256 AS bigint) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS bigint) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2
+"""
+
+    # mix rebalancing: rank within language by the shared md5-derived
+    # 60-bit hash, keep the smallest language's count from every language
+    _mix_h = HASH64_DUCK.format(x="concat('mix_', CAST(doc_id AS varchar))")
+    o["docs_source_mix"] = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+tgt AS (SELECT min(n) AS target FROM c),
+r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY {_mix_h}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source FROM r, tgt WHERE rk <= target
 """
 
     o["docs_langid"] = """

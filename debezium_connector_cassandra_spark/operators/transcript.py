@@ -1,0 +1,59 @@
+"""Transcript assembly: fold the materialized CDC state back into ordered
+per-conversation transcripts.
+
+This is the payload-specific export a transcript lakehouse serves to
+consumers (fine-tuning data loaders, eval harnesses): the reference
+connector materializes per-(conv, turn) rows with stable ordering keys
+(partition key + clustering key, SURVEY §1.1 RowData); assembly is the
+inverse projection — group by conversation, order by the clustering key,
+emit one document per conversation.
+
+Scale notes: one hash-aggregate keyed by ``conv_id``; the per-group
+``collect_list`` is bounded by the turns-per-conversation cardinality
+(transcripts are short relative to partitions — thousands of turns at
+most), so no group outgrows an executor.  ``array_sort`` on the collected
+(turn_idx, line) structs restores clustering order without a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def assemble_transcripts(
+    state: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """One row per conversation: ``n_turns``, ``last_turn``,
+    ``total_chars`` and the ordered ``transcript`` string
+    (``role: text`` lines joined by ``sep``; NULL role prints ``?``,
+    NULL text prints empty — a turn whose cells were tombstoned away
+    still occupies its slot, matching the reference's sparse-cell
+    semantics, SURVEY §2 D7/D8)."""
+    line = F.concat(
+        F.coalesce(F.col(role_col), F.lit("?")),
+        F.lit(": "),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    return (
+        state.select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_tc"),
+            F.struct(F.col(turn_col).alias("t"), line.alias("line")).alias("_e"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.max("turn_idx").alias("last_turn"),
+            F.sum("_tc").alias("total_chars"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_e")), lambda x: x["line"]),
+                sep,
+            ).alias("transcript"),
+        )
+    )

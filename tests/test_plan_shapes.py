@@ -53,6 +53,11 @@ def test_no_cartesian_anywhere(spark, queries):
         "emb_pq_rerank_topk",
         "docs_dup_gram_fraction",
         "emb_near_dups",
+        "cdc_state_asof",
+        "cdc_snapshot_diff",
+        "cdc_transcript_assembly",
+        "docs_pack_sequences",
+        "docs_source_mix",
     ):
         plan = _plan(spark, queries[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
@@ -185,3 +190,23 @@ def test_stateful_streaming_plan_shapes(spark, tmp_path_factory):
     tree = rate.split("\n\n")[0]
     below_exchange = tree.split("Exchange")[-1]
     assert "HashAggregate" in below_exchange, "no partial count before the window-key exchange"
+
+
+def test_pack_sequences_plan_shape(spark, queries):
+    """docs_pack_sequences: ONE shuffle (the bucket key), window sorted only
+    within buckets — a global-sort cumsum would be the scale-killer here."""
+    plan = _plan(spark, queries["docs_pack_sequences"](spark, SF_DIR))
+    assert _count(plan, "Exchange") <= 2  # bucket shuffle (+AQE coalesce)
+    assert _count(plan, "Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_plan_shape(spark, queries):
+    """cdc_snapshot_diff: the before/after comparison is equi-joined on the
+    key (SMJ/shuffled-hash), never nested-loop over either state relation;
+    the only nested-loop joins are the 1-row broadcast horizon feeds."""
+    plan = _plan(spark, queries["cdc_snapshot_diff"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") >= 1
+    # every BroadcastNestedLoopJoin must be a horizon feed (1-row agg side)
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 4
