@@ -1830,6 +1830,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_features"] = mm_features
 
+    def mm_frame_sample(spark, sf_dir):
+        # synthetic raw-video frame sampling: every 4th 64-byte frame,
+        # sliced JVM-side from the binary payload (sequence + explode +
+        # substr — scan speed, no Python); frame_hex is the cross-engine
+        # comparable projection of the frame bytes.
+        from debezium_connector_cassandra_spark.operators.multimodal import (
+            attach_payload,
+            sample_frames,
+        )
+
+        m = attach_payload(_docs(spark, sf_dir))
+        return sample_frames(m, frame_bytes=64, stride=4)
+
+    q["mm_frame_sample"] = mm_frame_sample
+
     return q
 
 
@@ -3418,6 +3433,29 @@ SELECT doc_id, 'text' AS modality, 'synthetic' AS codec,
        CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
        md5(text) AS content_md5
 FROM documents
+"""
+
+    # frame sampling: DuckDB cannot slice BLOBs, so the oracle slices the
+    # hex projection at doubled offsets (1 byte = 2 hex chars) — exactly
+    # the engine's hex(substr(payload, off+1, len)). generate_series is
+    # inclusive of its stop in both engines; empty payloads yield no frames.
+    o["mm_frame_sample"] = """
+WITH t AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS bigint) AS nb
+  FROM documents
+), f AS (
+  SELECT doc_id, hx, nb,
+         unnest(generate_series(
+           0, CAST((nb + 63 - (nb + 63) % 64) / 64 AS bigint) - 1, 4
+         )) AS frame_idx
+  FROM t WHERE nb > 0
+)
+SELECT doc_id, frame_idx, frame_idx * 64 AS frame_off,
+       least(64, nb - frame_idx * 64) AS frame_len,
+       substring(hx, frame_idx * 128 + 1,
+                 CAST(least(64, nb - frame_idx * 64) * 2 AS int)) AS frame_hex
+FROM f
 """
 
     return o

@@ -121,6 +121,50 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Frame sampling over a synthetic raw-video layout: the payload is a
+    sequence of fixed-size ``frame_bytes`` frames (the last one ragged);
+    emit every ``stride``-th frame as ``(doc_id, frame_idx, frame_off,
+    frame_len, frame_hex)``.
+
+    Entirely JVM-side Catalyst — ``sequence``+``explode`` generates the
+    sampled indices and ``substr`` slices the binary payload, so sampling
+    runs at scan speed with no Python. Real container formats (mp4/mkv)
+    need a demuxer and go through the ``decode_media`` stub boundary
+    instead; this operator is the Spark-side plumbing either path shares
+    (explode shape, offset arithmetic, ragged tail handling).
+
+    ``frame_hex`` is the frame's hex projection — the cross-engine
+    comparable form (and a stand-in for the per-frame tensor a real decode
+    would emit)."""
+    fb = F.lit(frame_bytes).cast("long")
+    nb = F.col("meta.n_bytes")
+    padded = nb + fb - 1
+    nframes = ((padded - padded % fb) / fb).cast("long")
+    idxs = F.when(
+        nframes > 0,
+        F.sequence(
+            F.lit(0).cast("long"),
+            nframes - 1,
+            F.lit(int(stride)).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    f = media.select(
+        "doc_id", "payload", nb.alias("nb"), F.explode(idxs).alias("frame_idx")
+    )
+    off = F.col("frame_idx") * frame_bytes
+    flen = F.least(fb, F.col("nb") - off)
+    return f.select(
+        "doc_id",
+        "frame_idx",
+        off.alias("frame_off"),
+        flen.alias("frame_len"),
+        F.hex(F.col("payload").substr(off + 1, flen)).alias("frame_hex"),
+    )
+
+
 def resize_stub(media: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
     """Image-resize plumbing: partition-preserving mapInPandas whose body
     would call the resize kernel; stubbed to a deterministic passthrough

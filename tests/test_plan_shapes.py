@@ -58,6 +58,7 @@ def test_no_cartesian_anywhere(spark, queries):
         "cdc_transcript_assembly",
         "docs_pack_sequences",
         "docs_source_mix",
+        "mm_frame_sample",
     ):
         plan = _plan(spark, queries[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
@@ -210,3 +211,13 @@ def test_snapshot_diff_plan_shape(spark, queries):
     assert _count(plan, "SortMergeJoin") + _count(plan, "ShuffledHashJoin") >= 1
     # every BroadcastNestedLoopJoin must be a horizon feed (1-row agg side)
     assert _count(plan, "BroadcastNestedLoopJoin") <= 4
+
+
+def test_frame_sample_is_map_only(spark, queries):
+    """mm_frame_sample: sequence+explode+substr is a pure scan-project-
+    generate plan — frame sampling runs at scan speed, no exchange, no
+    Python, no join."""
+    plan = _plan(spark, queries["mm_frame_sample"](spark, SF_DIR))
+    for op in ("Exchange", "Join", "Aggregate", "Window", "InPandas"):
+        assert op not in plan, op
+    assert _count(plan, "Generate") == 1
