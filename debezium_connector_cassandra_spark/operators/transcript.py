@@ -20,6 +20,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def incremental_transcripts(
+    prev_assembly: DataFrame,
+    new_state: DataFrame,
+    diff: DataFrame,
+    conv_col: str = "conv_id",
+    **assemble_kwargs,
+) -> DataFrame:
+    """Incremental view maintenance of the transcript export: given the
+    previous assembly, the new state, and the ``snapshot_diff`` change
+    stream between the two states, recompute ONLY the touched
+    conversations and carry every untouched one forward unchanged.
+
+    Equals ``assemble_transcripts(new_state)`` exactly (pinned), at the
+    cost of |touched| conversations instead of the full corpus — the
+    incremental principle: a CDC batch touches a vanishing fraction of a
+    100 TB table, so the semi/anti joins on the touched-conv set broadcast
+    and the recompute aggregate runs over the touched slice only.  A
+    conversation deleted entirely simply vanishes (its recompute is empty
+    and the anti-join drops its old row); a new conversation appears via
+    the recompute side."""
+    touched = diff.select(F.col(conv_col).alias("conv_id")).distinct()
+    recomputed = assemble_transcripts(
+        new_state.join(touched, new_state[conv_col] == touched["conv_id"], "left_semi"),
+        conv_col=conv_col,
+        **assemble_kwargs,
+    )
+    carried = prev_assembly.join(
+        touched, prev_assembly["conv_id"] == touched["conv_id"], "left_anti"
+    )
+    return carried.unionByName(recomputed)
+
+
 def assemble_transcripts(
     state: DataFrame,
     conv_col: str = "conv_id",

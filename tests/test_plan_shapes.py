@@ -59,6 +59,7 @@ def test_no_cartesian_anywhere(spark, queries):
         "docs_pack_sequences",
         "docs_source_mix",
         "mm_frame_sample",
+        "cdc_transcript_incremental",
     ):
         plan = _plan(spark, queries[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name

@@ -142,3 +142,49 @@ def test_assemble_transcripts_order_and_nulls(spark):
     assert got["c1"].transcript == "user: first\n?: \nassistant: third"
     assert got["c1"].total_chars == len("first") + len("third")
     assert got["c2"].transcript == "user: solo"
+
+
+def test_incremental_transcripts_equal_full_recompute(spark):
+    """IVM contract: carrying untouched conversations + recomputing only the
+    diff-touched ones equals the full assembly — including conversations
+    that vanish entirely (deleted) and ones born after the horizon."""
+    from debezium_connector_cassandra_spark.operators.transcript import (
+        incremental_transcripts,
+    )
+    from debezium_connector_cassandra_spark.sources.generator import gen_mutation_log
+
+    # wide conv pool + a narrow 1/10 change window so the fixture has BOTH
+    # touched and untouched conversations
+    log = gen_mutation_log(spark, 1500, n_convs=80, seed=43)
+    payload = ["role", "text", "tool", "ts"]
+    before = state_asof(log, writetime_horizon(log, 9, 10), payload)
+    after = materialize_state(log, payload)
+    diff = snapshot_diff(before, after, ["conv_id", "turn_idx"], payload)
+
+    inc = incremental_transcripts(assemble_transcripts(before), after, diff)
+    full = assemble_transcripts(after)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    # and the window genuinely exercised both paths
+    touched = {r.conv_id for r in diff.select("conv_id").distinct().collect()}
+    carried = {r.conv_id for r in full.collect()} - touched
+    assert touched and carried, "fixture must have touched AND untouched convs"
+
+
+def test_assembly_from_runner_lake_state(spark, tmp_path):
+    """Glue: transcripts assembled from the RUNNER's materialized lake state
+    equal those assembled from the in-memory pipeline — the export composes
+    with the real sink, not just the query path."""
+    from debezium_connector_cassandra_spark.sources.generator import (
+        gen_mutation_log,
+        write_mutation_log,
+    )
+    from debezium_connector_cassandra_spark.streaming.runner import CdcRunner
+
+    log = gen_mutation_log(spark, 800, n_convs=15, events_per_segment=200, seed=44)
+    write_mutation_log(log, str(tmp_path / "log"))
+    r = CdcRunner(spark, str(tmp_path / "log"), str(tmp_path / "t"), n_buckets=4)
+    r.run()
+    payload = ["role", "text", "tool", "ts"]
+    from_lake = assemble_transcripts(r.target.read_transcripts())
+    from_mem = assemble_transcripts(materialize_state(log, payload))
+    assert sorted(map(tuple, from_lake.collect())) == sorted(map(tuple, from_mem.collect()))
