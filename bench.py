@@ -52,6 +52,10 @@ HEADLINE_QUERIES = [
     "cdc_types_scalar",
     # round 5: session-window sessionization (merging windows, no per-key sort)
     "cdc_conv_sessions",
+    # round 5: point-in-time replay (pushed-down horizon filter + full state)
+    "cdc_state_asof",
+    # round 5: ordered per-conversation export off the final state
+    "cdc_transcript_assembly",
 ]
 
 

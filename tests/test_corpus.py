@@ -71,3 +71,30 @@ def test_rebalance_uniform_target(spark):
     # kept ids are a subset of the originals, and stable across runs
     again = {r.doc_id for r in rebalance_corpus(docs, group_col="lang").collect()}
     assert again == {i for s in by_lang.values() for i in s}
+
+
+def test_pack_matches_pandas_reference(spark):
+    """200 docs with irregular token counts vs an independent sequential
+    pandas formulation of the same greedy-contiguous rule."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(99)
+    rows = [(i, " ".join("t" * 1 for _ in range(rng.randint(1, 40))), "en") for i in range(200)]
+    got = (
+        pack_sequences(_docs(spark, rows), budget_tokens=64, n_buckets=8)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    ref = pd.DataFrame({"doc_id": [r[0] for r in rows], "n_tok": [len(r[1].split()) for r in rows]})
+    ref["bucket"] = ref["doc_id"] % 8
+    ref = ref.sort_values(["bucket", "doc_id"])
+    ref["tok_before"] = ref.groupby("bucket")["n_tok"].cumsum() - ref["n_tok"]
+    ref["pack_id"] = ref["tok_before"] // 64
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+
+    for col in ("bucket", "pack_id", "n_tok", "tok_before"):
+        assert list(got[col]) == list(ref[col]), col
