@@ -17,7 +17,18 @@ most), so no group outgrows an executor.  ``array_sort`` on the collected
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# the maintained downstream-view relation (CdcRunner(maintain_assembly=True))
+ASSEMBLY_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("last_turn", T.IntegerType(), True),
+        T.StructField("total_chars", T.LongType(), True),
+        T.StructField("transcript", T.StringType(), True),
+    ]
+)
 
 
 def incremental_transcripts(

@@ -105,16 +105,19 @@ class CdcTarget:
         widening of a payload column; the _wt_ twin is unaffected."""
         return self.state.alter_column_type(name, dtype)
 
-    def read_transcripts(self, version: int | None = None) -> DataFrame:
+    def read_transcripts(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
         """User-facing view: payload columns only, reconciliation metadata
         dropped (per-row invariant surface: per-turn text equality under
-        stable (conv_id, turn_idx) ordering)."""
+        stable (conv_id, turn_idx) ordering). ``buckets`` prunes the read
+        to the given state buckets (file-level pruning, no scan)."""
         cols = [
             f.name
             for f in self.state.schema(version).fields
             if not f.name.startswith("_")
         ]
-        return self.state.read(version=version).select(*cols)
+        return self.state.read(buckets=buckets, version=version).select(*cols)
 
 
 def apply_batch(

@@ -90,6 +90,7 @@ class CdcRunner:
         tracing: bool = False,
         gc_grace_us: int | None = None,
         gc_every_batches: int = 8,
+        maintain_assembly: bool = False,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -150,6 +151,31 @@ class CdcRunner:
             self.target = CdcTarget.open(spark, target_path)
         else:
             self.target = CdcTarget.create(spark, target_path, n_buckets=n_buckets)
+        # maintained downstream view (incremental view maintenance in the
+        # ingest loop): a per-conversation transcript assembly kept exactly
+        # up to date — after each state commit the buckets containing this
+        # batch's conversations are re-assembled FROM STATE and COW-swapped.
+        # Deterministic-from-state => idempotent under batch replay, and the
+        # refresh lands BEFORE offsets (same crash-safety side as the state).
+        self.maintain_assembly = maintain_assembly
+        if maintain_assembly:
+            from ..operators.transcript import ASSEMBLY_SCHEMA
+
+            apath = f"{target_path}/assembly"
+            if LakeTable.exists(apath):
+                self.assembly = LakeTable(spark, apath)
+            else:
+                # MUST share the state's actual bucket function: the refresh
+                # prunes the state read by the assembly's bucket ids
+                self.assembly = LakeTable.create(
+                    spark,
+                    apath,
+                    ASSEMBLY_SCHEMA,
+                    "conv_id",
+                    self.target.state.manifest()["n_buckets"],
+                )
+        else:
+            self.assembly = None
         # tombstone GC (Cassandra gc_grace analog): when set, run() purges
         # stored tombstones below (max applied writetime - gc_grace_us) every
         # gc_every_batches batches. Size the grace from the producer's
@@ -442,6 +468,8 @@ class CdcRunner:
 
             log = route_df(log, self.routing_mode, self.n_queues).drop("queue")
         stats = apply_batch(self.target, log, stats=batch_stats)
+        if self.assembly is not None:
+            self._refresh_assembly(log)
 
         now_ms = int(time.time() * 1000)
         # offsets: per log partition, the max (segment, position) this batch
@@ -640,6 +668,34 @@ class CdcRunner:
             "n_segments_error": len(self._errored),
             "per_partition": per_partition,
         }
+
+    # -- maintained downstream view (transcript assembly IVM) ----------------
+    def _refresh_assembly(self, batch_log: DataFrame) -> None:
+        """Re-assemble exactly the state buckets this batch's conversations
+        hash into and COW-swap them (`LakeTable.overwrite_buckets`). The
+        assembly shares the state's bucket function, so the state read is
+        file-pruned to the touched buckets; whole-bucket recompute-from-
+        state makes the refresh idempotent AND makes deleted conversations
+        vanish (their bucket is rewritten without them)."""
+        from ..operators.transcript import ASSEMBLY_SCHEMA, assemble_transcripts
+
+        keys = batch_log.select("conv_id").distinct()
+        buckets = self.assembly.buckets_for_keys(keys)
+        if not buckets:
+            return
+        touched_state = self.target.read_transcripts(buckets=buckets)
+        new_rows = assemble_transcripts(touched_state).select(
+            *[f.name for f in ASSEMBLY_SCHEMA.fields]
+        )
+        self.assembly.overwrite_buckets(new_rows, buckets)
+
+    def read_assembly(self) -> DataFrame:
+        """The maintained per-conversation transcript view."""
+        if self.assembly is None:
+            raise ValueError("pass maintain_assembly=True to maintain the view")
+        return self.assembly.read().select(
+            "conv_id", "n_turns", "last_turn", "total_chars", "transcript"
+        )
 
     # -- tombstone GC (gc_grace) ---------------------------------------------
     def gc(self) -> dict:
