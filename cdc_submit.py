@@ -76,6 +76,9 @@ def main() -> None:
                         "(max applied writetime - this grace); size it from the "
                         "producer's writetime-inversion bound")
     r.add_argument("--gc-every-batches", type=int, default=8)
+    r.add_argument("--maintain-assembly", action="store_true",
+                   help="maintain the per-conversation transcript view "
+                        "(assembly table) inside the ingest loop")
     r.add_argument("--payload-format", choices=["json", "binary"], default="json",
                    help="payload codec for --decode-binary")
 
@@ -172,6 +175,7 @@ def main() -> None:
             tracing=args.tracing,
             gc_grace_us=args.gc_grace_us,
             gc_every_batches=args.gc_every_batches,
+            maintain_assembly=args.maintain_assembly,
         )
         results = runner.run(max_batches=args.max_batches, on_error=args.on_error)
         print(json.dumps({"batches": results}))

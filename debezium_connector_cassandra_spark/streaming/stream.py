@@ -187,6 +187,10 @@ class CdcStream:
                 batch_df, excluded_fields=self.runner.excluded_fields
             ).select(*[c for c in batch_df.columns])
         apply_batch(self.runner.target, batch_df)
+        if self.runner.assembly is not None:
+            # maintained view: refresh the touched buckets BEFORE offsets,
+            # same crash-safety side as the state (idempotent recompute)
+            self.runner._refresh_assembly(batch_df)
         now_ms = int(time.time() * 1000)
         best: dict[int, tuple[int, int]] = {}
         for r in seg_rows:
@@ -300,6 +304,10 @@ class CdcStream:
             n_paired = paired.count()
             if n_paired:
                 apply_batch(self.runner.target, paired)
+                if self.runner.assembly is not None:
+                    # late range tombstones change state for their convs —
+                    # the maintained view must follow
+                    self.runner._refresh_assembly(paired)
             dangling = m.where(~(is_paired_end | is_consumed_start)).select(
                 *[f.name for f in RANGE_CTX_SCHEMA.fields]
             )

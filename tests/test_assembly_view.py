@@ -83,3 +83,32 @@ def test_assembly_drops_fully_deleted_conversations(spark, tmp_path):
     got = _rows(r.read_assembly())
     assert {t[0] for t in got} == {"c2"}
     assert got == _rows(assemble_transcripts(r.target.read_transcripts()))
+
+
+def test_assembly_streaming_parity(spark, tmp_path):
+    """The streaming front-end maintains the same view: drain via CdcStream
+    with maintain_assembly=True, compare against a fresh batch run."""
+    from debezium_connector_cassandra_spark.streaming.stream import CdcStream
+
+    log = gen_mutation_log(spark, 800, n_convs=20, events_per_segment=200, seed=53)
+    write_mutation_log(log, str(tmp_path / "log"))
+    rs = CdcRunner(
+        spark,
+        str(tmp_path / "log"),
+        str(tmp_path / "ts"),
+        n_buckets=8,
+        maintain_assembly=True,
+    )
+    CdcStream(rs, max_files_per_trigger=2).run_available(str(tmp_path / "ckpt"))
+    rb = CdcRunner(
+        spark,
+        str(tmp_path / "log"),
+        str(tmp_path / "tb"),
+        n_buckets=8,
+        maintain_assembly=True,
+    )
+    rb.run()
+    assert _rows(rs.read_assembly()) == _rows(rb.read_assembly())
+    assert _rows(rs.read_assembly()) == _rows(
+        assemble_transcripts(rs.target.read_transcripts())
+    )
