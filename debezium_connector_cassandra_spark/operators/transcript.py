@@ -31,6 +31,30 @@ ASSEMBLY_SCHEMA = T.StructType(
 )
 
 
+def refresh_assembly(
+    assembly,
+    target,
+    batch_keys: DataFrame,
+    role_col: str | None = "role",
+    text_col: str = "text",
+) -> None:
+    """Maintained-view refresh step shared by every ingest front-end
+    (CdcRunner, CdcStream, MultiTableRunner/Stream, SnapshotProcessor):
+    re-assemble exactly the state buckets the batch's conversations hash
+    into and COW-swap them.  Whole-bucket recompute-from-state is
+    idempotent under replay and drops fully-deleted conversations; the
+    assembly table shares the state's bucket function, so the state read
+    is file-pruned to the touched buckets."""
+    buckets = assembly.buckets_for_keys(batch_keys.select("conv_id").distinct())
+    if not buckets:
+        return
+    touched = target.read_transcripts(buckets=buckets)
+    new_rows = assemble_transcripts(
+        touched, role_col=role_col, text_col=text_col
+    ).select(*[f.name for f in ASSEMBLY_SCHEMA.fields])
+    assembly.overwrite_buckets(new_rows, buckets)
+
+
 def incremental_transcripts(
     prev_assembly: DataFrame,
     new_state: DataFrame,
@@ -67,7 +91,7 @@ def assemble_transcripts(
     state: DataFrame,
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
-    role_col: str = "role",
+    role_col: str | None = "role",
     text_col: str = "text",
     sep: str = "\n",
 ) -> DataFrame:
@@ -76,12 +100,16 @@ def assemble_transcripts(
     (``role: text`` lines joined by ``sep``; NULL role prints ``?``,
     NULL text prints empty — a turn whose cells were tombstoned away
     still occupies its slot, matching the reference's sparse-cell
-    semantics, SURVEY §2 D7/D8)."""
-    line = F.concat(
-        F.coalesce(F.col(role_col), F.lit("?")),
-        F.lit(": "),
-        F.coalesce(F.col(text_col), F.lit("")),
-    )
+    semantics, SURVEY §2 D7/D8).  ``role_col=None`` emits bare text
+    lines (tables without a role column)."""
+    if role_col is None:
+        line = F.coalesce(F.col(text_col), F.lit(""))
+    else:
+        line = F.concat(
+            F.coalesce(F.col(role_col), F.lit("?")),
+            F.lit(": "),
+            F.coalesce(F.col(text_col), F.lit("")),
+        )
     return (
         state.select(
             F.col(conv_col).alias("conv_id"),

@@ -210,6 +210,11 @@ class SnapshotProcessor:
         try:
             mutations = snapshot_to_mutations(source, snapshot_writetime)
             stats = apply_batch(self.runner.target, mutations)
+            if getattr(self.runner, "assembly", None) is not None:
+                # snapshot rows change state too — the maintained view follows
+                from ..operators.transcript import refresh_assembly
+
+                refresh_assembly(self.runner.assembly, self.runner.target, mutations)
             self.metrics.set_rows_scanned(fqtn, stats.get("n_events", 0))
             self.metrics.complete_table()
         except Exception:

@@ -192,6 +192,7 @@ class MultiTableRunner:
         batch_mutations: bool = False,
         gc_grace_us: int | None = None,
         gc_every_batches: int = 8,
+        maintain_assembly: dict | None = None,
     ):
         """``table_changes``: DDL ledger of table lifecycle events —
         ``(effective_segment, "create", TableSpec)`` /
@@ -217,6 +218,22 @@ class MultiTableRunner:
         # records whose changes may span TABLES (the reference Mutation
         # shape, handleMutation:255-272); _read_log explodes before anything
         self.batch_mutations = batch_mutations
+        # maintained per-table transcript views: {fqtn: {"text": col,
+        # "role": col|None}} — refreshed after every state commit with the
+        # shared recompute-from-state step (operators.transcript.
+        # refresh_assembly); tables absent from the dict have no view
+        self.maintain_assembly: dict[str, dict] = dict(maintain_assembly or {})
+        for fqtn, cfg in self.maintain_assembly.items():
+            if fqtn not in self.specs:
+                raise ValueError(f"maintain_assembly: unknown table {fqtn!r}")
+            payload_cols = set(self.specs[fqtn].payload_dict)
+            for key in ("text",) + (("role",) if cfg.get("role") else ()):
+                if cfg.get(key) and cfg[key] not in payload_cols:
+                    raise ValueError(
+                        f"maintain_assembly[{fqtn!r}]: column {cfg[key]!r} "
+                        f"not in payload {sorted(payload_cols)}"
+                    )
+        self.assemblies: dict[str, LakeTable] = {}
         self.targets: dict[str, CdcTarget] = {}
         for fqtn, spec in self.specs.items():
             self._ensure_target(fqtn, spec)
@@ -255,6 +272,21 @@ class MultiTableRunner:
 
             self.changes_tables = getattr(self, "changes_tables", {})
             self.changes_tables[fqtn] = ChangesExport(self.spark, f"{path}/changes")
+        if fqtn in self.maintain_assembly:
+            from ..operators.transcript import ASSEMBLY_SCHEMA
+
+            apath = f"{path}/assembly"
+            if LakeTable.exists(apath):
+                self.assemblies[fqtn] = LakeTable(self.spark, apath)
+            else:
+                # share the table's state bucket function (pruned refreshes)
+                self.assemblies[fqtn] = LakeTable.create(
+                    self.spark,
+                    apath,
+                    ASSEMBLY_SCHEMA,
+                    "conv_id",
+                    self.targets[fqtn].state.manifest()["n_buckets"],
+                )
 
     def apply_table_changes(self, up_to_segment: int, discovered: list[int]) -> None:
         """Replay table create/drop DDL effective at or before
@@ -418,6 +450,7 @@ class MultiTableRunner:
                 else:
                     sub = decode_table_payload(sub, spec)
                 results[fqtn] = apply_batch(self.targets[fqtn], sub, stats=stats)
+                self._refresh_assembly(fqtn, sub)
                 if self.export_changes:
                     # MT batches consume whole segments, so the decoded slice
                     # is per-segment complete — export directly from it
@@ -552,6 +585,29 @@ class MultiTableRunner:
         return results
 
     # -- user-facing reads ----------------------------------------------------
+    def _refresh_assembly(self, fqtn: str, batch_keys: DataFrame) -> None:
+        """Maintained-view step (no-op for tables without a view)."""
+        if fqtn not in self.assemblies:
+            return
+        from ..operators.transcript import refresh_assembly
+
+        cfg = self.maintain_assembly[fqtn]
+        refresh_assembly(
+            self.assemblies[fqtn],
+            self.targets[fqtn],
+            batch_keys,
+            role_col=cfg.get("role"),
+            text_col=cfg["text"],
+        )
+
+    def read_assembly(self, fqtn: str) -> DataFrame:
+        """The maintained per-conversation view of one table."""
+        if fqtn not in self.assemblies:
+            raise ValueError(f"no maintained assembly for {fqtn!r}")
+        return self.assemblies[fqtn].read().select(
+            "conv_id", "n_turns", "last_turn", "total_chars", "transcript"
+        )
+
     def read_table(self, fqtn: str) -> DataFrame:
         """Payload view of one table with its LOGICAL key column names."""
         spec = self.specs[fqtn]
@@ -592,6 +648,7 @@ class MultiTableRunner:
                 src = self.specs[fqtn].normalize(sources[fqtn])
                 mutations = snapshot_to_mutations(src, snapshot_writetime)
                 out[fqtn] = apply_batch(self.targets[fqtn], mutations)
+                self._refresh_assembly(fqtn, mutations)
                 self.metrics_snapshot.set_rows_scanned(
                     fqtn, out[fqtn].get("n_events", 0)
                 )
@@ -695,6 +752,7 @@ class MultiTableStream:
             else:
                 sub = decode_table_payload(sub, spec)
             apply_batch(r.targets[fqtn], sub)
+            r._refresh_assembly(fqtn, sub)
             best: dict[int, tuple[int, int]] = {}
             for row in rows:
                 cand = (row["segment_id"], row["max_pos"])

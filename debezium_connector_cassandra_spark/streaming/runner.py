@@ -677,17 +677,9 @@ class CdcRunner:
         file-pruned to the touched buckets; whole-bucket recompute-from-
         state makes the refresh idempotent AND makes deleted conversations
         vanish (their bucket is rewritten without them)."""
-        from ..operators.transcript import ASSEMBLY_SCHEMA, assemble_transcripts
+        from ..operators.transcript import refresh_assembly
 
-        keys = batch_log.select("conv_id").distinct()
-        buckets = self.assembly.buckets_for_keys(keys)
-        if not buckets:
-            return
-        touched_state = self.target.read_transcripts(buckets=buckets)
-        new_rows = assemble_transcripts(touched_state).select(
-            *[f.name for f in ASSEMBLY_SCHEMA.fields]
-        )
-        self.assembly.overwrite_buckets(new_rows, buckets)
+        refresh_assembly(self.assembly, self.target, batch_log)
 
     def read_assembly(self) -> DataFrame:
         """The maintained per-conversation transcript view."""

@@ -112,3 +112,125 @@ def test_assembly_streaming_parity(spark, tmp_path):
     assert _rows(rs.read_assembly()) == _rows(
         assemble_transcripts(rs.target.read_transcripts())
     )
+
+
+def test_assembly_multi_table(spark, tmp_path):
+    """Per-table maintained views in the multi-table runner: the transcripts
+    table uses role+text lines, the notes table (no role column) bare body
+    lines; the events table gets NO view. Both views equal a recompute from
+    their table's state."""
+    from pyspark.sql import types as T
+
+    from debezium_connector_cassandra_spark.model import TableSpec
+    from debezium_connector_cassandra_spark.sources.generator import (
+        gen_multi_table_log,
+    )
+    from debezium_connector_cassandra_spark.streaming.multi_table import (
+        MultiTableRunner,
+    )
+
+    specs = [
+        TableSpec(
+            keyspace="ks1",
+            table="transcripts",
+            partition_key="conv_id",
+            clustering_key="turn_idx",
+            payload=(("role", T.StringType()), ("text", T.StringType())),
+        ),
+        TableSpec(
+            keyspace="ks2",
+            table="notes",
+            partition_key="doc_id",
+            clustering_key="rev",
+            payload=(("body", T.StringType()),),
+        ),
+    ]
+    log = gen_multi_table_log(
+        spark, specs, n_events=2000, n_convs=20, max_turns=10,
+        events_per_segment=500, n_log_partitions=2, seed=61,
+    )
+    write_mutation_log(log, str(tmp_path / "log"))
+    r = MultiTableRunner(
+        spark,
+        str(tmp_path / "log"),
+        str(tmp_path / "root"),
+        specs,
+        segments_per_batch=2,
+        n_buckets=4,
+        maintain_assembly={
+            "ks1.transcripts": {"role": "role", "text": "text"},
+            "ks2.notes": {"role": None, "text": "body"},
+        },
+    )
+    r.run()
+    want_t = assemble_transcripts(
+        r.targets["ks1.transcripts"].read_transcripts(), role_col="role", text_col="text"
+    )
+    assert _rows(r.read_assembly("ks1.transcripts")) == _rows(want_t)
+    want_n = assemble_transcripts(
+        r.targets["ks2.notes"].read_transcripts(), role_col=None, text_col="body"
+    )
+    assert _rows(r.read_assembly("ks2.notes")) == _rows(want_n)
+    # bare-text lines really have no "role: " prefix
+    sample = r.read_assembly("ks2.notes").collect()
+    assert sample and all(": " not in t.transcript.split("\n")[0][:2] for t in sample)
+
+
+def test_assembly_multi_table_validates_columns(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from debezium_connector_cassandra_spark.model import TableSpec
+    from debezium_connector_cassandra_spark.streaming.multi_table import (
+        MultiTableRunner,
+    )
+    import pytest
+
+    spec = TableSpec(
+        keyspace="ks2", table="notes", partition_key="doc_id",
+        clustering_key="rev", payload=(("body", T.StringType()),),
+    )
+    with pytest.raises(ValueError, match="not in payload"):
+        MultiTableRunner(
+            spark, str(tmp_path / "log"), str(tmp_path / "root"), [spec],
+            maintain_assembly={"ks2.notes": {"text": "missing_col"}},
+        )
+    with pytest.raises(ValueError, match="unknown table"):
+        MultiTableRunner(
+            spark, str(tmp_path / "log"), str(tmp_path / "root2"), [spec],
+            maintain_assembly={"nope.nope": {"text": "body"}},
+        )
+
+
+def test_assembly_follows_snapshot_bootstrap(spark, tmp_path):
+    """The snapshot path writes state too — the maintained view must pick
+    up snapshot-inserted conversations before any log batch runs."""
+    from pyspark.sql import Row
+
+    from debezium_connector_cassandra_spark.sources.snapshot import (
+        SnapshotMode,
+        SnapshotProcessor,
+    )
+
+    log = gen_mutation_log(spark, 400, n_convs=10, events_per_segment=200, seed=54)
+    write_mutation_log(log, str(tmp_path / "log"))
+    r = CdcRunner(
+        spark,
+        str(tmp_path / "log"),
+        str(tmp_path / "t"),
+        n_buckets=8,
+        maintain_assembly=True,
+    )
+    pre = spark.createDataFrame(
+        [
+            Row(conv_id="pre_1", turn_idx=0, role="user", text="hello", tool=None, ts=None),
+            Row(conv_id="pre_1", turn_idx=1, role="assistant", text="hi", tool=None, ts=None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    SnapshotProcessor(r).take(pre, snapshot_writetime=1, mode=SnapshotMode.INITIAL)
+    snap_view = {t[0]: t for t in _rows(r.read_assembly())}
+    assert snap_view["pre_1"][4] == "user: hello\nassistant: hi"
+    r.run()
+    assert _rows(r.read_assembly()) == _rows(
+        assemble_transcripts(r.target.read_transcripts())
+    )
