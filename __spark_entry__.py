@@ -499,6 +499,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_transcript_incremental"] = cdc_transcript_incremental
 
+    # --- as-of join: SCD-style event enrichment -----------------------------
+    def cdc_asof_join(spark, sf_dir):
+        # join each click/view event to the user's latest purchase AT event
+        # time (inclusive): the temporal-join primitive a CDC consumer runs
+        # to enrich change events with the dimension version current then.
+        # One keyed window over the tagged union — no range join explosion.
+        from debezium_connector_cassandra_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        left = ev.where(F.col("event_type").isin("click", "view")).select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        right = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        out = asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            right_cols=["purchase_value"], uid_col="event_id",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("purchase_ts_us"),
+            F.col("asof_purchase_value").alias("purchase_value"),
+        )
+
+    q["cdc_asof_join"] = cdc_asof_join
+
     # --- logged-batch mutations: atomic multi-change records ----------------
     def cdc_batch_mutations(spark, sf_dir):
         # one Mutation = several row changes at ONE offset (handleMutation
@@ -2015,6 +2045,31 @@ FROM st GROUP BY 1
 
     # incremental == full maintenance is the contract: same oracle
     o["cdc_transcript_incremental"] = o["cdc_transcript_assembly"]
+
+    # as-of join: same tagged-union + IGNORE NULLS forward-fill formulation
+    # (window ordered (ts, side, event_id): right first at ties = inclusive)
+    o["cdc_asof_join"] = """
+WITH u AS (
+  SELECT event_id, user_id, event_type, ts, 1 AS f,
+         NULL::STRUCT(mts TIMESTAMP, pv DOUBLE) AS m
+  FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT event_id, user_id, NULL, ts, 0 AS f,
+         struct_pack(mts := ts, pv := value) AS m
+  FROM events WHERE event_type = 'purchase'
+),
+filled AS (
+  SELECT *, last_value(m IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, f, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fm
+  FROM u
+)
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) AS ts_us,
+       epoch_us(fm.mts) AS purchase_ts_us,
+       fm.pv AS purchase_value
+FROM filled WHERE f = 1
+"""
 
     # collections: the oracle computes the stringified winners directly
     # (the engine carries real array/struct cells end-to-end)

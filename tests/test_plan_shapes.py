@@ -60,6 +60,7 @@ def test_no_cartesian_anywhere(spark, queries):
         "docs_source_mix",
         "mm_frame_sample",
         "cdc_transcript_incremental",
+        "cdc_asof_join",
     ):
         plan = _plan(spark, queries[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
@@ -222,3 +223,14 @@ def test_frame_sample_is_map_only(spark, queries):
     for op in ("Exchange", "Join", "Aggregate", "Window", "InPandas"):
         assert op not in plan, op
     assert _count(plan, "Generate") == 1
+
+
+def test_asof_join_is_joinless(spark, queries):
+    """The as-of join compiles to tagged-union + ONE keyed window — no join
+    operator at all (a range join would explode; an SMJ would re-shuffle
+    both sides separately)."""
+    plan = _plan(spark, queries["cdc_asof_join"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert _count(plan, "Exchange") <= 2
+    assert _count(plan, "Window") >= 1
