@@ -529,6 +529,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cdc_asof_join"] = cdc_asof_join
 
+    # --- range join: events inside incident windows -------------------------
+    def cdc_interval_join(spark, sf_dir):
+        # pair every event with every 60s incident window (opened by each
+        # error event) containing it — the interval-containment join,
+        # decomposed into a bucketed EQUI-join (naive containment would be
+        # a nested loop over events x incidents).
+        from debezium_connector_cassandra_spark.operators.rangejoin import (
+            interval_join,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        incidents = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts_us").alias("start_us"),
+            (F.col("ts_us") + F.lit(60_000_000)).alias("end_us"),
+        )
+        out = interval_join(
+            ev, incidents, "ts_us", "start_us", "end_us",
+            bucket_width_us=60_000_000,
+        )
+        return out.select(
+            "event_id",
+            "incident_id",
+            "event_type",
+            (F.col("ts_us") - F.col("start_us")).alias("lag_us"),
+        )
+
+    q["cdc_interval_join"] = cdc_interval_join
+
     # --- logged-batch mutations: atomic multi-change records ----------------
     def cdc_batch_mutations(spark, sf_dir):
         # one Mutation = several row changes at ONE offset (handleMutation
@@ -2069,6 +2102,21 @@ SELECT event_id, user_id, event_type,
        epoch_us(fm.mts) AS purchase_ts_us,
        fm.pv AS purchase_value
 FROM filled WHERE f = 1
+"""
+
+    # range join oracle: the direct containment theta-join (the oracle
+    # needn't scale; the engine side is the bucketed equi-join)
+    o["cdc_interval_join"] = """
+WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+inc AS (
+  SELECT event_id AS incident_id, ts_us AS start_us,
+         ts_us + 60000000 AS end_us
+  FROM ev WHERE event_type = 'error'
+)
+SELECT l.event_id, i.incident_id, l.event_type,
+       l.ts_us - i.start_us AS lag_us
+FROM ev l JOIN inc i
+  ON l.ts_us >= i.start_us AND l.ts_us <= i.end_us
 """
 
     # collections: the oracle computes the stringified winners directly

@@ -61,6 +61,7 @@ def test_no_cartesian_anywhere(spark, queries):
         "mm_frame_sample",
         "cdc_transcript_incremental",
         "cdc_asof_join",
+        "cdc_interval_join",
     ):
         plan = _plan(spark, queries[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
@@ -234,3 +235,19 @@ def test_asof_join_is_joinless(spark, queries):
     assert "CartesianProduct" not in plan
     assert _count(plan, "Exchange") <= 2
     assert _count(plan, "Window") >= 1
+
+
+def test_interval_join_is_equi_join(spark, queries):
+    """The range join must run as the bucketed EQUI-join decomposition —
+    a naive containment join plans as a nested loop over events x
+    intervals, which is the scale-killer this operator exists to avoid."""
+    plan = _plan(spark, queries["cdc_interval_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        _count(plan, "BroadcastHashJoin")
+        + _count(plan, "SortMergeJoin")
+        + _count(plan, "ShuffledHashJoin")
+        >= 1
+    )
+    assert _count(plan, "Generate") >= 1  # the interval->bucket explode
