@@ -171,7 +171,17 @@ def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
-    df = spark.sql(_derive_sql(_SPARK) + "SELECT * FROM m").persist()
+    # events.parquet is a single file (one row group): without an explicit
+    # repartition the persisted relation holds ONE partition and every scan
+    # of it — the map side of every CDC query — runs single-threaded. The
+    # round-robin repartition (deterministic: sort-before-repartition) is
+    # paid once at build time; scans read the cache at full parallelism.
+    # Sized to the session's core count, never a constant (scale-adaptive).
+    df = (
+        spark.sql(_derive_sql(_SPARK) + "SELECT * FROM m")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     _FLAT_CACHE[key] = df
     return df
 
@@ -433,11 +443,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer arithmetic so the DuckDB oracle lands on the same long.
         from debezium_connector_cassandra_spark.operators.timetravel import (
             state_asof,
-            writetime_horizon,
+            writetime_horizon_value,
         )
 
         log = derived_log(spark, sf_dir)
-        return state_asof(log, writetime_horizon(log, 3, 4), payload)
+        # scalar horizon (one bounded 1-row aggregate at plan-build time):
+        # a pushed-down literal filter instead of a 1-row broadcast join
+        # replicated into every branch of the state plan
+        return state_asof(log, writetime_horizon_value(log, 3, 4), payload)
 
     q["cdc_state_asof"] = cdc_state_asof
 
@@ -450,11 +463,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from debezium_connector_cassandra_spark.operators.timetravel import (
             snapshot_diff,
             state_asof,
-            writetime_horizon,
+            writetime_horizon_value,
         )
 
         log = derived_log(spark, sf_dir)
-        before = state_asof(log, writetime_horizon(log, 3, 4), payload)
+        before = state_asof(log, writetime_horizon_value(log, 3, 4), payload)
         after = _state_pipeline(log, payload, ("i", "u", "d", "p", "r"))
         return snapshot_diff(before, after, ["conv_id", "turn_idx"], payload)
 
@@ -484,7 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from debezium_connector_cassandra_spark.operators.timetravel import (
             snapshot_diff,
             state_asof,
-            writetime_horizon,
+            writetime_horizon_value,
         )
         from debezium_connector_cassandra_spark.operators.transcript import (
             assemble_transcripts,
@@ -492,7 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         log = derived_log(spark, sf_dir)
-        before = state_asof(log, writetime_horizon(log, 3, 4), payload)
+        before = state_asof(log, writetime_horizon_value(log, 3, 4), payload)
         after = _state_pipeline(log, payload, ("i", "u", "d", "p", "r"))
         diff = snapshot_diff(before, after, ["conv_id", "turn_idx"], payload)
         return incremental_transcripts(assemble_transcripts(before), after, diff)
@@ -595,7 +608,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # cache of array<struct> batches scans SLOWER than a parquet
             # read of the same nested data (measured 4.9s vs 2.6s at sf0.1)
             path = tempfile.mkdtemp(prefix="cdc_packed_") + "/log"
-            pack_batches(log, group_size=4, position_stride=16).write.parquet(path)
+            # one file per core (deterministic round-robin): with the
+            # session's scan-parallelism floor (session.py minPartitionNum)
+            # the fixture reads back one split per file, so the measured
+            # explode+apply runs at full parallelism instead of being
+            # file-packed into 1-2 splits
+            (
+                pack_batches(log, group_size=4, position_stride=16)
+                .repartition(spark.sparkContext.defaultParallelism)
+                .write.parquet(path)
+            )
             batched = spark.read.parquet(path)
             _BATCHED_CACHE[key] = batched
         return _state_pipeline(
@@ -1459,7 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         as_of = flat.agg(F.max("writetime")).collect()[0][0]
         tombs = extract_tombstones(log)
         tombs.row = None  # 'd' folds into the key reduction
-        reduced = tomb_wt_for_keys(reduce_events(log), tombs)
+        reduced = tomb_wt_for_keys(reduce_events(log), tombs, keys_unique=True)
         state = drop_invisible(finalize_state(reduced, as_of_us=as_of))
         return state.select("conv_id", "turn_idx", "role", "text")
 

@@ -53,7 +53,7 @@ def materialize_state(
     tombs.range = tombs.range if "r" in opset else None
     reduced = reduce_events(log)
     if opset & {"p", "r"}:
-        reduced = tomb_wt_for_keys(reduced, tombs)
+        reduced = tomb_wt_for_keys(reduced, tombs, keys_unique=True)
     state = drop_invisible(finalize_state(reduced))
     return state.select("conv_id", "turn_idx", *payload)
 
@@ -74,6 +74,21 @@ def writetime_horizon(log: DataFrame, num: int = 3, den: int = 4) -> DataFrame:
             + ((scaled - scaled % F.lit(den)) / F.lit(den)).cast("long")
         ).alias("horizon_wt")
     )
+
+
+def writetime_horizon_value(log: DataFrame, num: int = 3, den: int = 4) -> int:
+    """``writetime_horizon`` collapsed to its scalar value: one bounded
+    1-row aggregate job (a map-side-combined min/max of one long column).
+
+    Passing the scalar into :func:`state_asof` gives the plan a pushed-down
+    literal ``writetime <= T`` filter instead of a broadcast 1-row join —
+    and, when the caller derives several relations from the same horizon
+    (as-of state, snapshot diff, incremental assembly), it stops the
+    horizon's min/max scan from being REPLICATED into every branch of the
+    plan (measured: 4 duplicated full scans in the round-5 demo plans).
+    Production callers already pass an absolute horizon; this is the
+    benchmark/demo equivalent."""
+    return int(writetime_horizon(log, num, den).collect()[0][0])
 
 
 def state_asof(

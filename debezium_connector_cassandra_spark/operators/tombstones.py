@@ -149,7 +149,9 @@ def range_covers(lo, hi, lo_incl, hi_incl, turn) -> "F.Column":
     return above & below
 
 
-def tomb_wt_for_keys(keys: DataFrame, tombs: TombstoneSet) -> DataFrame:
+def tomb_wt_for_keys(
+    keys: DataFrame, tombs: TombstoneSet, keys_unique: bool = False
+) -> DataFrame:
     """For a (conv_id, turn_idx) key relation, compute max applicable
     tombstone writetime as column ``tomb_wt`` (NULL when none applies).
 
@@ -158,6 +160,11 @@ def tomb_wt_for_keys(keys: DataFrame, tombs: TombstoneSet) -> DataFrame:
     AQE-broadcastable) tombstone relation; the range join is equi on conv_id
     with a residual bound filter — never a cartesian. Relations known empty
     (None) cost nothing.
+
+    ``keys_unique=True`` asserts the caller's relation already has at most
+    one row per (conv_id, turn_idx) — true for a reduction output or a
+    state table — skipping the defensive dropDuplicates aggregation in
+    front of the range join (one fewer shuffle+agg on the hot apply path).
     """
     out = keys
     wt_cols = []
@@ -168,8 +175,11 @@ def tomb_wt_for_keys(keys: DataFrame, tombs: TombstoneSet) -> DataFrame:
         out = out.join(tombs.partition.withColumnRenamed("wt", "p_wt"), ["conv_id"], "left")
         wt_cols.append("p_wt")
     if tombs.range is not None:
+        r_keys = keys.select("conv_id", "turn_idx")
+        if not keys_unique:
+            r_keys = r_keys.dropDuplicates()
         r_applicable = (
-            keys.select("conv_id", "turn_idx").dropDuplicates()
+            r_keys
             .join(tombs.range, "conv_id")
             .where(range_covers(F.col("lo"), F.col("hi"), F.col("lo_incl"), F.col("hi_incl"), F.col("turn_idx")))
             .groupBy("conv_id", "turn_idx")

@@ -210,7 +210,9 @@ def apply_batch(
         if join_tombs.row is None and join_tombs.partition is None and join_tombs.range is None:
             batch_state = finalize_state(reduced)
         else:
-            batch_state = finalize_state(tomb_wt_for_keys(reduced, join_tombs))
+            batch_state = finalize_state(
+                tomb_wt_for_keys(reduced, join_tombs, keys_unique=True)
+            )
 
         # --- touched buckets ------------------------------------------------
         touched_convs = reduced.select("conv_id")
@@ -227,7 +229,7 @@ def apply_batch(
             tgt = target.state.read(buckets=bucket_ids)
             if new_tombs.partition is not None or new_tombs.range is not None:
                 # conv-grain kills for target keys absent from the batch
-                tgt = kill_state(tomb_wt_for_keys(tgt, pr_tombs))
+                tgt = kill_state(tomb_wt_for_keys(tgt, pr_tombs, keys_unique=True))
             merged = merge_states(tgt, batch_state)
 
         if bucket_ids:

@@ -36,6 +36,14 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # floor on scan parallelism: commit-log segment directories hold many
+        # small parquet files (one per producer partition); the default
+        # open-cost packing folds them into a handful of splits, serializing
+        # the map side. The floor tracks the session's core count (cluster
+        # deployments set SPARK_GRAFT_CPUS to the executor-core total), so it
+        # is scale-adaptive, not a local-mode constant. Large files are
+        # unaffected (maxPartitionBytes still caps split size).
+        .config("spark.sql.files.minPartitionNum", str(max(64, int(cpus))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

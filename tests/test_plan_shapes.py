@@ -144,10 +144,16 @@ def test_decode_envelope_is_map_only(spark, queries):
     """D11 envelope construction is a pure scan-project plan: no exchange,
     no aggregate, no join — decode stays at scan speed."""
     plan = _plan(spark, queries["cdc_decode_envelope"](spark, SF_DIR))
+    # the derived-log cache's STORED build plan (replayed only on a cache
+    # miss) carries its own one-time repartition Exchange; the query's
+    # executed operators are everything above the InMemoryRelation leaf —
+    # scope the sweep there so decode itself stays pinned map-only
+    executed = plan.split("InMemoryRelation")[0]
+    assert "InMemoryTableScan" in executed  # reads the cache, nothing below
     # substring check on purpose: catches every operator family member
     # (BroadcastHashJoin, HashAggregate, ...) in one sweep
     for op in ("Exchange", "Join", "Aggregate", "Window", "CartesianProduct"):
-        assert op not in plan, op
+        assert op not in executed, op
 
 
 def test_stateful_streaming_plan_shapes(spark, tmp_path_factory):
