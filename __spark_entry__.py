@@ -175,73 +175,74 @@ def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition the persisted relation holds ONE partition and every scan
     # of it — the map side of every CDC query — runs single-threaded. The
     # round-robin repartition (deterministic: sort-before-repartition) is
-    # paid once at build time; scans read the cache at full parallelism.
-    # Sized to the session's core count, never a constant (scale-adaptive).
+    # paid once at build time. The count deliberately trades map parallelism
+    # against partial-aggregation collapse: the CDC key space is small
+    # relative to the log, so every extra map partition multiplies the
+    # partially-aggregated rows entering each state query's exchange
+    # (measured at 32 partitions: 32x shuffle rows, ~2x slower; at
+    # parallelism/8 the map side still overlaps while partials stay
+    # collapsed). Derived from the session's core count, never a constant.
     df = (
         spark.sql(_derive_sql(_SPARK) + "SELECT * FROM m")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(max(2, spark.sparkContext.defaultParallelism // 8))
         .persist()
     )
     _FLAT_CACHE[key] = df
     return df
 
 
-def _cells(include_meta: bool = False) -> F.Column:
-    def cell(val, set_col):
-        return F.struct(
-            val.alias("value"),
-            F.lit(None).cast("long").alias("deletion_ts"),
-            set_col.alias("set"),
-        )
-
-    fields = [
-        cell(F.col("role_val"), F.col("role_set")).alias("role"),
-        cell(F.col("text_val"), F.col("text_set")).alias("text"),
-        cell(F.col("tool_val"), F.col("tool_set")).alias("tool"),
-        cell(F.col("ts_us_val"), F.col("ts_us_set")).alias("ts_us"),
-    ]
-    if include_meta:
-        # the schema-evolution column: only v2 events carry it
-        fields.append(
-            cell(
-                F.concat(F.lit("meta_"), F.col("event_id").cast("string")),
-                (F.col("schema_version") >= 2) & F.col("text_set"),
-            ).alias("meta")
-        )
-    return F.struct(*fields)
+def _cell_sql(val: str, set_col: str) -> str:
+    """SQL for one cell struct (value, deletion_ts, set)."""
+    return (
+        f"named_struct('value', {val}, 'deletion_ts', CAST(NULL AS BIGINT), "
+        f"'set', {set_col})"
+    )
 
 
 def derived_log(spark: SparkSession, sf_dir: str, include_meta: bool = False) -> DataFrame:
-    """The typed mutation-log DataFrame the engine operators consume."""
+    """The typed mutation-log DataFrame the engine operators consume.
+
+    The projection is one ``selectExpr`` over the cached flat log: building
+    it column-object by column-object cost hundreds of py4j round trips
+    per query construction (measured: ~290 ms per call, more than many
+    queries' execution) — a single SQL-string projection is one round trip
+    (~45 ms) with an identical analyzed schema and identical rows."""
     flat = _flat_log(spark, sf_dir)
-    is_up = F.col("op").isin("i", "u")
-    is_r = F.col("op") == "r"
-    bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
-    return flat.select(
+    cell_fields = [
+        ("role", _cell_sql("role_val", "role_set")),
+        ("text", _cell_sql("text_val", "text_set")),
+        ("tool", _cell_sql("tool_val", "tool_set")),
+        ("ts_us", _cell_sql("ts_us_val", "ts_us_set")),
+    ]
+    if include_meta:
+        # the schema-evolution column: only v2 events carry it
+        cell_fields.append(
+            (
+                "meta",
+                _cell_sql(
+                    "concat('meta_', CAST(event_id AS STRING))",
+                    "(schema_version >= 2) AND text_set",
+                ),
+            )
+        )
+    cells = ", ".join(f"'{n}', {s}" for n, s in cell_fields)
+    return flat.selectExpr(
         "segment_id",
         "position",
         "log_partition",
         "op",
         "conv_id",
-        F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+        "CASE WHEN op IN ('i','u','d') THEN turn_idx END AS turn_idx",
         "writetime",
-        F.when(is_up, _cells(include_meta)).alias("cells"),
-        F.when(
-            is_r,
-            bound(
-                F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")),
-                F.col("r_lo"),
-            ),
-        ).alias("range_start"),
-        F.when(
-            is_r,
-            bound(
-                F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")),
-                F.col("r_hi"),
-            ),
-        ).alias("range_end"),
-        F.col("schema_version").cast("int").alias("schema_version"),
-        F.lit(False).alias("snapshot"),
+        f"CASE WHEN op IN ('i','u') THEN named_struct({cells}) END AS cells",
+        "CASE WHEN op = 'r' THEN named_struct('method', CASE WHEN lo_incl "
+        "THEN 'INCL_START_BOUND' ELSE 'EXCL_START_BOUND' END, 'turn_idx', r_lo) "
+        "END AS range_start",
+        "CASE WHEN op = 'r' THEN named_struct('method', CASE WHEN hi_incl "
+        "THEN 'INCL_END_BOUND' ELSE 'EXCL_END_BOUND' END, 'turn_idx', r_hi) "
+        "END AS range_end",
+        "CAST(schema_version AS INT) AS schema_version",
+        "FALSE AS snapshot",
     )
 
 
@@ -423,8 +424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     payload = ["role", "text", "tool", "ts_us"]
 
     def _mk_state(ops: tuple[str, ...]):
+        op_list = ", ".join(f"'{o}'" for o in ops)
+
         def f(spark, sf_dir):
-            log = derived_log(spark, sf_dir).where(F.col("op").isin(*ops))
+            log = derived_log(spark, sf_dir).where(f"op IN ({op_list})")
             return _state_pipeline(log, payload, ops)
 
         return f
@@ -608,14 +611,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # cache of array<struct> batches scans SLOWER than a parquet
             # read of the same nested data (measured 4.9s vs 2.6s at sf0.1)
             path = tempfile.mkdtemp(prefix="cdc_packed_") + "/log"
-            # one file per core (deterministic round-robin): with the
-            # session's scan-parallelism floor (session.py minPartitionNum)
-            # the fixture reads back one split per file, so the measured
-            # explode+apply runs at full parallelism instead of being
-            # file-packed into 1-2 splits
+            # a few files (deterministic round-robin): with the session's
+            # scan-parallelism floor (session.py minPartitionNum) the
+            # fixture reads back one split per file — same partial-agg
+            # collapse tradeoff as the derived-log cache (see _flat_log)
             (
                 pack_batches(log, group_size=4, position_stride=16)
-                .repartition(spark.sparkContext.defaultParallelism)
+                .repartition(max(2, spark.sparkContext.defaultParallelism // 8))
                 .write.parquet(path)
             )
             batched = spark.read.parquet(path)
@@ -1309,112 +1311,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from debezium_connector_cassandra_spark.functions.types import TypeMapper
 
         tm = TypeMapper()
-        t_uuid = tm.spark_type("uuid")
-        t_tu = tm.spark_type("timeuuid")
-        t_date = tm.spark_type("date")
-        t_time = tm.spark_type("time")
-        t_inet = tm.spark_type("inet")
-        t_dur = tm.spark_type("duration")
-        t_blob = tm.spark_type("blob")
+        types = {n: tm.spark_type(n).simpleString() for n in (
+            "uuid", "timeuuid", "date", "time", "inet", "duration", "blob")}
 
-        flat = _flat_log(spark, sf_dir).withColumn(
-            "h", F.md5(F.col("event_id").cast("string"))
-        ).withColumn(
-            "th", F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string")))
-        )
-        is_up = F.col("op").isin("i", "u")
-        is_r = F.col("op") == "r"
+        # whole projection as ONE selectExpr (see derived_log: the Column-
+        # object build of these 7 cells cost ~1s of py4j round trips per
+        # query construction)
+        H = "md5(CAST(event_id AS STRING))"
+        TH = "md5(concat('t', CAST(event_id AS STRING)))"
 
         def uuid_fmt(src, version):
-            return F.expr(
+            return (
                 f"concat(substr({src},1,8),'-',substr({src},9,4),'-{version}',"
                 f"substr({src},14,3),'-',substr({src},17,4),'-',substr({src},21,12))"
             )
 
-        uuid_val = uuid_fmt("h", "4")
-        tu_val = uuid_fmt("th", "1")
-        date_val = F.expr("date_add(to_date('2020-01-01'), cast((event_id*3) % 3650 as int))")
-        time_val = F.expr(
-            "((event_id*48271+7) % 86400) * 1000000000 + (event_id*13) % 1000000000"
+        vals = {
+            "uid": (uuid_fmt(H, "4"), "text_set", types["uuid"]),
+            "tuid": (uuid_fmt(TH, "1"), "text_set", types["timeuuid"]),
+            "d": ("date_add(to_date('2020-01-01'), cast((event_id*3) % 3650 as int))",
+                  "role_set", types["date"]),
+            "tod": ("((event_id*48271+7) % 86400) * 1000000000 + (event_id*13) % 1000000000",
+                    "tool_set", types["time"]),
+            "addr": ("concat('10.', cast(cast((event_id - event_id % 65536)/65536 as bigint) % 256 as string),"
+                     " '.', cast(cast((event_id - event_id % 256)/256 as bigint) % 256 as string),"
+                     " '.', cast(event_id % 256 as string))", "text_set", types["inet"]),
+            "dur": ("named_struct('months', cast((event_id*5) % 24 as int),"
+                    " 'days', cast((event_id*7) % 31 as int),"
+                    " 'nanos', (event_id*2654435761) % 86400000000000)",
+                    "role_set", types["duration"]),
+            "bin": ("unhex(md5(concat('b', CAST(event_id AS STRING))))",
+                    "tool_set", types["blob"]),
+        }
+        cells = ", ".join(
+            f"'{n}', named_struct('value', CASE WHEN {set_c} THEN CAST(({v}) AS {t}) "
+            f"ELSE CAST(NULL AS {t}) END, 'deletion_ts', CAST(NULL AS BIGINT), "
+            f"'set', {set_c})"
+            for n, (v, set_c, t) in vals.items()
         )
-        inet_val = F.expr(
-            "concat('10.', cast(cast((event_id - event_id % 65536)/65536 as bigint) % 256 as string),"
-            " '.', cast(cast((event_id - event_id % 256)/256 as bigint) % 256 as string),"
-            " '.', cast(event_id % 256 as string))"
-        )
-        dur_val = F.struct(
-            F.expr("cast((event_id*5) % 24 as int)").alias("months"),
-            F.expr("cast((event_id*7) % 31 as int)").alias("days"),
-            F.expr("(event_id*2654435761) % 86400000000000").alias("nanos"),
-        )
-        blob_val = F.unhex(F.md5(F.concat(F.lit("b"), F.col("event_id").cast("string"))))
-
-        def cell(val, set_col, dtype):
-            return F.struct(
-                F.when(set_col, val.cast(dtype)).otherwise(F.lit(None).cast(dtype)).alias("value"),
-                F.lit(None).cast("long").alias("deletion_ts"),
-                set_col.alias("set"),
-            )
-
-        cells = F.when(
-            is_up,
-            F.struct(
-                cell(uuid_val, F.col("text_set"), t_uuid).alias("uid"),
-                cell(tu_val, F.col("text_set"), t_tu).alias("tuid"),
-                cell(date_val, F.col("role_set"), t_date).alias("d"),
-                cell(time_val, F.col("tool_set"), t_time).alias("tod"),
-                cell(inet_val, F.col("text_set"), t_inet).alias("addr"),
-                cell(dur_val, F.col("role_set"), t_dur).alias("dur"),
-                cell(blob_val, F.col("tool_set"), t_blob).alias("bin"),
-            ),
-        )
-        bound = lambda m, t: F.struct(m.alias("method"), t.alias("turn_idx"))  # noqa: E731
-        log = flat.select(
+        log = _flat_log(spark, sf_dir).selectExpr(
             "segment_id",
             "position",
             "log_partition",
             "op",
             "conv_id",
-            F.when(F.col("op").isin("i", "u", "d"), F.col("turn_idx")).alias("turn_idx"),
+            "CASE WHEN op IN ('i','u','d') THEN turn_idx END AS turn_idx",
             "writetime",
-            cells.alias("cells"),
-            F.when(
-                is_r,
-                bound(
-                    F.when(F.col("lo_incl"), F.lit("INCL_START_BOUND")).otherwise(F.lit("EXCL_START_BOUND")),
-                    F.col("r_lo"),
-                ),
-            ).alias("range_start"),
-            F.when(
-                is_r,
-                bound(
-                    F.when(F.col("hi_incl"), F.lit("INCL_END_BOUND")).otherwise(F.lit("EXCL_END_BOUND")),
-                    F.col("r_hi"),
-                ),
-            ).alias("range_end"),
-            F.lit(1).alias("schema_version"),
-            F.lit(False).alias("snapshot"),
+            f"CASE WHEN op IN ('i','u') THEN named_struct({cells}) END AS cells",
+            "CASE WHEN op = 'r' THEN named_struct('method', CASE WHEN lo_incl "
+            "THEN 'INCL_START_BOUND' ELSE 'EXCL_START_BOUND' END, 'turn_idx', r_lo) "
+            "END AS range_start",
+            "CASE WHEN op = 'r' THEN named_struct('method', CASE WHEN hi_incl "
+            "THEN 'INCL_END_BOUND' ELSE 'EXCL_END_BOUND' END, 'turn_idx', r_hi) "
+            "END AS range_end",
+            "CAST(1 AS INT) AS schema_version",
+            "FALSE AS snapshot",
         )
         st = _state_pipeline(
             log, ["uid", "tuid", "d", "tod", "addr", "dur", "bin"], ("i", "u", "d", "p", "r")
         )
-        return st.select(
+        return st.selectExpr(
             "conv_id",
             "turn_idx",
-            F.col("uid").alias("uuid_s"),
-            F.col("tuid").alias("timeuuid_s"),
-            F.col("d").cast("string").alias("date_s"),
-            F.col("tod").alias("time_ns"),
-            F.col("addr").alias("inet_s"),
-            F.when(
-                F.col("dur").isNotNull(),
-                F.concat(
-                    F.lit("P"), F.col("dur.months").cast("string"),
-                    F.lit("M"), F.col("dur.days").cast("string"),
-                    F.lit("DT"), F.col("dur.nanos").cast("string"), F.lit("N"),
-                ),
-            ).alias("duration_s"),
-            F.hex(F.col("bin")).alias("blob_hex"),
+            "uid AS uuid_s",
+            "tuid AS timeuuid_s",
+            "CAST(d AS STRING) AS date_s",
+            "tod AS time_ns",
+            "addr AS inet_s",
+            "CASE WHEN dur IS NOT NULL THEN concat('P', CAST(dur.months AS STRING), "
+            "'M', CAST(dur.days AS STRING), 'DT', CAST(dur.nanos AS STRING), 'N') "
+            "END AS duration_s",
+            "hex(bin) AS blob_hex",
         )
 
     q["cdc_types_scalar"] = cdc_types_scalar

@@ -44,6 +44,17 @@ def asof_join(
     ``uid_col`` must be present and unique on both sides — it makes the
     tie order total (monotonically_increasing_id is NOT deterministic
     across retries, so the caller supplies a real id)."""
+    # reserved internal names: a caller column shadowing them would silently
+    # corrupt the side filter / match struct instead of erroring
+    reserved = {"_side", MATCH_COL}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserved column name(s) in input: {sorted(clash)}")
+    if "ts" in right_cols:
+        raise ValueError(
+            "right_cols may not contain 'ts' — it would collide with the "
+            "match struct's timestamp field (exported as asof_ts)"
+        )
     match = F.struct(
         F.col(ts_col).alias("ts"), *[F.col(c).alias(c) for c in right_cols]
     )

@@ -83,7 +83,19 @@ def _winner(col: str, dtype=None) -> F.Column:
     MapType transform) use ``max_by(value_struct, order_struct)``: identical
     skip-null / all-null semantics, only the ordering key must be orderable.
     Both are O(1)-state hash aggregates with map-side partial combine.
+
+    The orderable path is ONE SQL-string expression: assembling it from
+    Column objects cost ~15 py4j round trips per payload column per query
+    construction (driver-side latency, guide §4's boundary cost in its
+    plan-building form).
     """
+    if dtype is None or _orderable(dtype):
+        return F.expr(
+            f"max(CASE WHEN cells.{col}.set THEN named_struct("
+            f"'wt', writetime, 'seg', segment_id, 'pos', position, "
+            f"'value', cells.{col}.value, 'deletion_ts', cells.{col}.deletion_ts"
+            f") END) AS _w_{col}"
+        )
     c = F.col("cells")[col]
     value_struct = F.struct(
         F.col("writetime").alias("wt"),
@@ -92,8 +104,6 @@ def _winner(col: str, dtype=None) -> F.Column:
         c["value"].alias("value"),
         c["deletion_ts"].alias("deletion_ts"),
     )
-    if dtype is None or _orderable(dtype):
-        return F.max(F.when(c["set"], value_struct)).alias(f"_w_{col}")
     order = F.when(
         c["set"], F.struct(F.col("writetime"), F.col("segment_id"), F.col("position"))
     )
@@ -112,10 +122,10 @@ def reduce_events(batch: DataFrame) -> DataFrame:
     upsert in the batch set that column), ``_live_wt`` (max INSERT
     writetime) and ``_d_wt`` (max row-delete writetime — NULL when the batch
     has no 'd' for the key)."""
-    keyed = batch.where(F.col("op").isin("i", "u", "d"))
+    keyed = batch.where(F.expr("op IN ('i','u','d')"))
     aggs = [_winner(c, t) for c, t in _batch_payload_fields(batch)]
-    aggs.append(F.max(F.when(F.col("op") == "i", F.col("writetime"))).alias("_live_wt"))
-    aggs.append(F.max(F.when(F.col("op") == "d", F.col("writetime"))).alias("_d_wt"))
+    aggs.append(F.expr("max(CASE WHEN op = 'i' THEN writetime END) AS _live_wt"))
+    aggs.append(F.expr("max(CASE WHEN op = 'd' THEN writetime END) AS _d_wt"))
     return keyed.groupBy("conv_id", "turn_idx").agg(*aggs)
 
 
@@ -193,34 +203,40 @@ def finalize_state(reduced_with_tomb: DataFrame, as_of_us: int | None = None) ->
     single-pass."""
     payload = [c[len("_w_"):] for c in reduced_with_tomb.columns if c.startswith("_w_")]
     has_join_tomb = "tomb_wt" in reduced_with_tomb.columns
-    d_wt = F.coalesce(F.col("_d_wt"), F.lit(NEG_INF))
-    tomb = F.greatest(d_wt, F.coalesce(F.col("tomb_wt"), F.lit(NEG_INF))) if has_join_tomb else d_wt
+    # one SQL-string projection (a Column-object build here cost ~10 py4j
+    # round trips per payload column per query construction)
+    neg = f"CAST({NEG_INF} AS BIGINT)"
+    d_wt = f"coalesce(_d_wt, {neg})"
+    tomb = f"greatest({d_wt}, coalesce(tomb_wt, {neg}))" if has_join_tomb else d_wt
     cols, wts = [], []
-    alive_any = F.lit(False)
+    alive_any = []
     for c in payload:
-        w = F.col(f"_w_{c}")
-        alive = w.isNotNull() & (w["wt"] > tomb)
+        w = f"_w_{c}"
+        alive = f"({w} IS NOT NULL AND {w}.wt > {tomb})"
         if as_of_us is None:
-            value_live = w["deletion_ts"].isNull()
+            value_live = f"{w}.deletion_ts IS NULL"
             counts = alive  # null assignment keeps the row visible (merge mode)
         else:
-            value_live = w["deletion_ts"].isNull() | (
-                w["deletion_ts"] > F.lit(int(as_of_us))
+            value_live = (
+                f"({w}.deletion_ts IS NULL OR {w}.deletion_ts > {int(as_of_us)})"
             )
-            counts = alive & value_live  # expired cell holds nothing
-        cols.append(F.when(alive & value_live, w["value"]).alias(c))
-        wts.append(F.when(alive if as_of_us is None else counts, w["wt"]).alias(f"_wt_{c}"))
-        alive_any = alive_any | counts
-    live_wt = F.when(F.col("_live_wt") > tomb, F.col("_live_wt"))
-    kill_wt = F.when(tomb > F.lit(NEG_INF), tomb)
-    out = reduced_with_tomb.select(
+            counts = f"({alive} AND {value_live})"  # expired cell holds nothing
+        cols.append(f"CASE WHEN {alive} AND {value_live} THEN {w}.value END AS {c}")
+        wts.append(
+            f"CASE WHEN {alive if as_of_us is None else counts} THEN {w}.wt END AS _wt_{c}"
+        )
+        alive_any.append(counts)
+    if not alive_any:
+        alive_any = ["FALSE"]
+    live_wt = f"CASE WHEN _live_wt > {tomb} THEN _live_wt END"
+    out = reduced_with_tomb.selectExpr(
         "conv_id",
         "turn_idx",
         *cols,
-        live_wt.alias("_live_wt"),
+        f"{live_wt} AS _live_wt",
         *wts,
-        kill_wt.alias("_kill_wt"),
-        (alive_any | live_wt.isNotNull()).alias("_visible"),
+        f"CASE WHEN {tomb} > {neg} THEN {tomb} END AS _kill_wt",
+        f"(({' OR '.join(alive_any)}) OR ({live_wt}) IS NOT NULL) AS _visible",
     )
     return out.where(F.col("_visible") | F.col("_kill_wt").isNotNull()).drop("_visible")
 
@@ -228,9 +244,9 @@ def finalize_state(reduced_with_tomb: DataFrame, as_of_us: int | None = None) ->
 def drop_invisible(state: DataFrame) -> DataFrame:
     """Drop kill-carrier rows and the _kill_wt column — yields pure STATE."""
     payload = state_payload_columns(state)
-    visible = F.col("_live_wt").isNotNull()
-    for c in payload:
-        visible = visible | F.col(f"_wt_{c}").isNotNull()
+    visible = " OR ".join(
+        ["_live_wt IS NOT NULL"] + [f"_wt_{c} IS NOT NULL" for c in payload]
+    )
     return state.where(visible).drop("_kill_wt")
 
 

@@ -47,12 +47,14 @@ def materialize_state(
     folded into the aggregation), conv-grain tombstone joins, finalize.
     Mirrors ``plans.apply.apply_batch`` without the lake tables."""
     opset = set(ops)
-    tombs = extract_tombstones(log)
-    tombs.row = None  # 'd' folds into the key reduction
-    tombs.partition = tombs.partition if "p" in opset else None
-    tombs.range = tombs.range if "r" in opset else None
     reduced = reduce_events(log)
     if opset & {"p", "r"}:
+        # conv-grain tombstone relations are only BUILT when the op set can
+        # contain them (assembling-then-discarding them cost ~0.1 s of
+        # driver plan-build time per query); 'd' folds into the reduction
+        tombs = extract_tombstones(
+            log, kinds=tuple(k for k in ("p", "r") if k in opset)
+        )
         reduced = tomb_wt_for_keys(reduced, tombs, keys_unique=True)
     state = drop_invisible(finalize_state(reduced))
     return state.select("conv_id", "turn_idx", *payload)

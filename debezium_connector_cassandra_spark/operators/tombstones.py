@@ -51,33 +51,42 @@ class TombstoneSet:
         )
 
 
-def extract_tombstones(batch: DataFrame) -> TombstoneSet:
+def extract_tombstones(
+    batch: DataFrame, kinds: tuple[str, ...] = ("d", "p", "r")
+) -> TombstoneSet:
+    # SQL-string predicates/projections: one py4j round trip each (these
+    # three relations are built on every query construction — see lww.py);
+    # ``kinds`` lets a caller that statically knows an op kind is absent
+    # skip assembling that relation entirely
+    _max_wt = F.expr("max(writetime) AS wt")
     row = (
-        batch.where(F.col("op") == "d")
-        .groupBy("conv_id", "turn_idx")
-        .agg(F.max("writetime").alias("wt"))
+        batch.where("op = 'd'").groupBy("conv_id", "turn_idx").agg(_max_wt)
+        if "d" in kinds
+        else None
     )
     partition = (
-        batch.where(F.col("op") == "p")
-        .groupBy("conv_id")
-        .agg(F.max("writetime").alias("wt"))
+        batch.where("op = 'p'").groupBy("conv_id").agg(_max_wt)
+        if "p" in kinds
+        else None
     )
     # ranges pre-aggregate at BOUNDS grain (identical bounds keep max wt):
     # a hot partition receiving thousands of range deletes over a bounded
     # clustering space collapses to the distinct-bounds count before any
     # join — same reason row/partition tombstones pre-aggregate
+    if "r" not in kinds:
+        return TombstoneSet(row=row, partition=partition, range=None)
     rng = (
-        batch.where(F.col("op") == "r")
-        .select(
+        batch.where("op = 'r'")
+        .selectExpr(
             "conv_id",
-            F.col("range_start.turn_idx").alias("lo"),
-            F.col("range_end.turn_idx").alias("hi"),
-            (F.col("range_start.method") == "INCL_START_BOUND").alias("lo_incl"),
-            (F.col("range_end.method") == "INCL_END_BOUND").alias("hi_incl"),
-            F.col("writetime").alias("wt"),
+            "range_start.turn_idx AS lo",
+            "range_end.turn_idx AS hi",
+            "range_start.method = 'INCL_START_BOUND' AS lo_incl",
+            "range_end.method = 'INCL_END_BOUND' AS hi_incl",
+            "writetime AS wt",
         )
         .groupBy("conv_id", "lo", "hi", "lo_incl", "hi_incl")
-        .agg(F.max("wt").alias("wt"))
+        .agg(F.expr("max(wt) AS wt"))
     )
     return TombstoneSet(row=row, partition=partition, range=rng)
 
@@ -181,20 +190,23 @@ def tomb_wt_for_keys(
         r_applicable = (
             r_keys
             .join(tombs.range, "conv_id")
-            .where(range_covers(F.col("lo"), F.col("hi"), F.col("lo_incl"), F.col("hi_incl"), F.col("turn_idx")))
+            .where(
+                "(CASE WHEN lo_incl THEN turn_idx >= lo ELSE turn_idx > lo END)"
+                " AND (CASE WHEN hi_incl THEN turn_idx <= hi ELSE turn_idx < hi END)"
+            )
             .groupBy("conv_id", "turn_idx")
-            .agg(F.max("wt").alias("r_wt"))
+            .agg(F.expr("max(wt) AS r_wt"))
         )
         out = out.join(r_applicable, ["conv_id", "turn_idx"], "left")
         wt_cols.append("r_wt")
 
     if not wt_cols:
-        tomb = F.lit(None).cast("long")
+        tomb = "CAST(NULL AS BIGINT)"
     elif len(wt_cols) == 1:
-        tomb = F.col(wt_cols[0])
+        tomb = wt_cols[0]
     else:
-        tomb = F.greatest(*[F.col(c) for c in wt_cols])
-    return out.withColumn("tomb_wt", tomb).drop(*wt_cols)
+        tomb = f"greatest({', '.join(wt_cols)})"
+    return out.withColumn("tomb_wt", F.expr(tomb)).drop(*wt_cols)
 
 
 def tombstones_to_rows(tombs: TombstoneSet, extra: DataFrame | None = None) -> DataFrame:

@@ -159,117 +159,130 @@ def apply_batch(
 
     if strict_dedup:
         batch = dedup_events(batch)
-    caches = []
-    try:
-        if stats is None:
-            # one job: total + per-op-kind event counts (column-pruned scan;
-            # the batch is NOT cached — a pass over it is a pruned parquet
-            # scan, cheaper than materializing wide rows)
-            stats = (
-                batch.agg(
-                    F.count("*").alias("n"),
-                    *[
-                        F.coalesce(
-                            F.sum(F.when(F.col("op") == k, 1).otherwise(0)), F.lit(0)
-                        ).alias(k)
-                        for k in ("d", "p", "r")
-                    ],
-                )
-                .collect()[0]
-                .asDict()
+    if stats is None:
+        # one job: total + per-op-kind event counts (column-pruned scan;
+        # the batch is NOT cached — a pass over it is a pruned parquet
+        # scan, cheaper than materializing wide rows)
+        stats = (
+            batch.agg(
+                F.count("*").alias("n"),
+                *[
+                    F.coalesce(
+                        F.sum(F.when(F.col("op") == k, 1).otherwise(0)), F.lit(0)
+                    ).alias(k)
+                    for k in ("d", "p", "r")
+                ],
             )
-        n_events = stats["n"]
-        kind_counts = {k: stats[k] for k in ("d", "p", "r")}
-        n_tombs = sum(kind_counts.values())
-        _mark("stats")
+            .collect()[0]
+            .asDict()
+        )
+    n_events = stats["n"]
+    kind_counts = {k: stats[k] for k in ("d", "p", "r")}
+    n_tombs = sum(kind_counts.values())
+    _mark("stats")
 
-        stored_empty = target.tombstones.is_empty()
+    stored_empty = target.tombstones.is_empty()
 
-        # conv-grain tombstones only: the row-delete ('d') kind is FOLDED
-        # into the key reduction below (same grouping key, zero extra
-        # shuffle) and applied to the target inside the merge join via
-        # _kill_wt — so every remaining tombstone join is a small
-        # broadcastable conv-grain relation.
-        new_tombs = extract_tombstones(batch).prune(kind_counts)
-        new_tombs.row = None  # 'd' is folded, never joined
+    # conv-grain tombstones only: the row-delete ('d') kind is FOLDED
+    # into the key reduction below (same grouping key, zero extra
+    # shuffle) and applied to the target inside the merge join via
+    # _kill_wt — so every remaining tombstone join is a small
+    # broadcastable conv-grain relation.
+    new_tombs = extract_tombstones(
+        batch, kinds=tuple(k for k in ("p", "r") if kind_counts.get(k))
+    )  # 'd' is folded into the reduction, never joined
 
-        # --- per-key reduction (i/u/d in ONE hash agg) ---------------------
-        reduced = reduce_events(batch).cache()
-        caches.append(reduced)
+    # --- touched buckets: ONE narrow bounded job -----------------------
+    # Distinct (state bucket, tombstone-store bucket) pairs over every
+    # conv_id the batch touches — upsert/delete keys AND partition/range
+    # tombstone targets are all just the batch's conv_ids. One
+    # column-pruned scan with map-side-combined distinct; the result is
+    # bounded by the bucket-count product, safe to collect. This
+    # replaces two separate jobs that each materialized the full-width
+    # key reduction (and its in-memory cache) just to enumerate buckets.
+    from ..lake.table import bucket_expr
 
-        pr_tombs = TombstoneSet(row=None, partition=new_tombs.partition, range=new_tombs.range)
-        if stored_empty:
-            join_tombs = pr_tombs
-        else:
-            # the tombstone store is bucketed by conv_id too — read only the
-            # buckets the batch's conversations hash into
-            touched_keys = reduced.select("conv_id").distinct()
-            store_buckets = target.tombstones.buckets_for_keys(touched_keys)
-            stored = rows_to_tombstones(target.tombstones.read(buckets=store_buckets))
-            join_tombs = union_tombstones(pr_tombs, stored)
-        if join_tombs.row is None and join_tombs.partition is None and join_tombs.range is None:
-            batch_state = finalize_state(reduced)
-        else:
-            batch_state = finalize_state(
-                tomb_wt_for_keys(reduced, join_tombs, keys_unique=True)
+    state_m = target.state.manifest()
+    store_m = target.tombstones.manifest()
+    pairs = (
+        batch.select(
+            bucket_expr(state_m["key_col"], state_m["n_buckets"]).alias("_sb"),
+            bucket_expr(store_m["key_col"], store_m["n_buckets"]).alias("_tb"),
+        )
+        .distinct()
+        .collect()
+    )
+    bucket_ids = sorted({r["_sb"] for r in pairs})
+    _mark("touched-buckets")
+
+    # --- per-key reduction (i/u/d in ONE hash agg) ---------------------
+    # NOT cached: each consumer prunes it differently (the merge needs
+    # full width once; the tombstone flush needs only the _d_wt grain),
+    # so recomputing the pruned shapes is cheaper than materializing the
+    # wide struct rows into the columnar cache and reading them back.
+    reduced = reduce_events(batch)
+
+    pr_tombs = TombstoneSet(row=None, partition=new_tombs.partition, range=new_tombs.range)
+    if stored_empty:
+        join_tombs = pr_tombs
+    else:
+        # the tombstone store is bucketed by conv_id too — read only the
+        # buckets the batch's conversations hash into
+        store_buckets = sorted({r["_tb"] for r in pairs})
+        stored = rows_to_tombstones(target.tombstones.read(buckets=store_buckets))
+        join_tombs = union_tombstones(pr_tombs, stored)
+    if join_tombs.row is None and join_tombs.partition is None and join_tombs.range is None:
+        batch_state = finalize_state(reduced)
+    else:
+        batch_state = finalize_state(
+            tomb_wt_for_keys(reduced, join_tombs, keys_unique=True)
+        )
+
+    # --- kill + merge target (only touched buckets are read/rewritten)
+    if target.state.is_empty():
+        merged = drop_invisible(batch_state)
+    else:
+        tgt = target.state.read(buckets=bucket_ids)
+        if new_tombs.partition is not None or new_tombs.range is not None:
+            # conv-grain kills for target keys absent from the batch
+            tgt = kill_state(tomb_wt_for_keys(tgt, pr_tombs, keys_unique=True))
+        merged = merge_states(tgt, batch_state)
+
+    if bucket_ids:
+        new_version = target.state.overwrite_buckets(merged, bucket_ids)
+    else:
+        new_version = target.state.current_version()
+    _mark("merge+cow-write")
+
+    # --- persist new tombstones for future out-of-order batches -------
+    if n_tombs:
+        d_rows = (
+            reduced.where(F.col("_d_wt").isNotNull()).select(
+                F.lit("d").alias("kind"),
+                "conv_id",
+                F.col("turn_idx").alias("lo"),
+                F.col("turn_idx").alias("hi"),
+                F.lit(True).alias("lo_incl"),
+                F.lit(True).alias("hi_incl"),
+                F.col("_d_wt").alias("wt"),
             )
-
-        # --- touched buckets ------------------------------------------------
-        touched_convs = reduced.select("conv_id")
-        for rel in (new_tombs.partition, new_tombs.range):
-            if rel is not None:
-                touched_convs = touched_convs.unionByName(rel.select("conv_id"))
-        bucket_ids = target.state.buckets_for_keys(touched_convs.distinct())
-        _mark("touched-buckets")
-
-        # --- kill + merge target (only touched buckets are read/rewritten)
-        if target.state.is_empty():
-            merged = drop_invisible(batch_state)
+            if kind_counts["d"]
+            else None
+        )
+        tomb_rows = tombstones_to_rows(new_tombs, extra=d_rows)
+        if n_tombs <= 20_000:
+            # driver-side flush, no Spark job (offset-flush analog)
+            target.tombstones.append_small([r.asDict() for r in tomb_rows.collect()])
         else:
-            tgt = target.state.read(buckets=bucket_ids)
-            if new_tombs.partition is not None or new_tombs.range is not None:
-                # conv-grain kills for target keys absent from the batch
-                tgt = kill_state(tomb_wt_for_keys(tgt, pr_tombs, keys_unique=True))
-            merged = merge_states(tgt, batch_state)
+            target.tombstones.append(tomb_rows)
+    _mark("tombstone-append")
 
-        if bucket_ids:
-            new_version = target.state.overwrite_buckets(merged, bucket_ids)
-        else:
-            new_version = target.state.current_version()
-        _mark("merge+cow-write")
-
-        # --- persist new tombstones for future out-of-order batches -------
-        if n_tombs:
-            d_rows = (
-                reduced.where(F.col("_d_wt").isNotNull()).select(
-                    F.lit("d").alias("kind"),
-                    "conv_id",
-                    F.col("turn_idx").alias("lo"),
-                    F.col("turn_idx").alias("hi"),
-                    F.lit(True).alias("lo_incl"),
-                    F.lit(True).alias("hi_incl"),
-                    F.col("_d_wt").alias("wt"),
-                )
-                if kind_counts["d"]
-                else None
-            )
-            tomb_rows = tombstones_to_rows(new_tombs, extra=d_rows)
-            if n_tombs <= 20_000:
-                # driver-side flush, no Spark job (offset-flush analog)
-                target.tombstones.append_small([r.asDict() for r in tomb_rows.collect()])
-            else:
-                target.tombstones.append(tomb_rows)
-        _mark("tombstone-append")
-
-        return {
-            "n_events": n_events,
-            "n_buckets_rewritten": len(bucket_ids),
-            "n_new_tombstones": n_tombs,
-            "state_version": new_version,
-        }
-    finally:
-        for c in caches:
-            c.unpersist()
+    return {
+        "n_events": n_events,
+        "n_buckets_rewritten": len(bucket_ids),
+        "n_new_tombstones": n_tombs,
+        "state_version": new_version,
+    }
 
 
 def gc_tombstones(target: CdcTarget, writetime_horizon: int) -> dict:

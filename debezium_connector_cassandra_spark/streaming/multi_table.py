@@ -411,12 +411,14 @@ class MultiTableRunner:
             )
             .collect()
         )
-        # applied-writetime high watermark — the tombstone-GC horizon input
-        for r in seg_rows:
-            if r["max_wt"] is not None and (
-                self._max_writetime is None or r["max_wt"] > self._max_writetime
-            ):
-                self._max_writetime = r["max_wt"]
+        # candidate applied-writetime high watermark (tombstone-GC horizon
+        # input) — folded into self._max_writetime only after EVERY
+        # per-table apply in this batch commits, so a mid-loop failure can
+        # never leave the horizon ahead of not-yet-applied events
+        batch_max_wt = max(
+            (r["max_wt"] for r in seg_rows if r["max_wt"] is not None),
+            default=None,
+        )
         by_table: dict[str, list] = {f: [] for f in self.specs}
         for r in seg_rows:
             fqtn = f"{r['keyspace']}.{r['table']}"
@@ -517,6 +519,13 @@ class MultiTableRunner:
             self.offsets.append_small(offset_rows)
             self.lineage.append_small(lineage_rows)
             n_applied += stats["n"]
+
+        # every per-table apply committed — the batch's writetimes are now
+        # APPLIED and may advance the GC horizon
+        if batch_max_wt is not None and (
+            self._max_writetime is None or batch_max_wt > self._max_writetime
+        ):
+            self._max_writetime = batch_max_wt
 
         n_decoded = sum(r["n"] for r in seg_rows)
         wall_ms = int((time.time() - t0) * 1000)

@@ -427,12 +427,16 @@ class CdcRunner:
             .collect()
         )
         n_decoded = sum(r["n"] for r in seg_rows)
-        # applied-writetime high watermark — the tombstone-GC horizon input
-        for r in seg_rows:
-            if r["max_wt"] is not None and (
-                self._max_writetime is None or r["max_wt"] > self._max_writetime
-            ):
-                self._max_writetime = r["max_wt"]
+        # candidate applied-writetime high watermark — the tombstone-GC
+        # horizon input. Computed here from the pre-scan, but folded into
+        # self._max_writetime only AFTER apply_batch commits: advancing it
+        # first would let a gc() between a failed apply and its replay purge
+        # tombstones a never-applied event still needs to lose to
+        # (deleted-row resurrection).
+        batch_max_wt = max(
+            (r["max_wt"] for r in seg_rows if r["max_wt"] is not None),
+            default=None,
+        )
         n_skipped = sum(r["n_unsup"] for r in seg_rows)
         batch_stats = {"n": n_decoded - n_skipped}
         batch_stats.update({k: sum(r[f"n_{k}"] for r in seg_rows) for k in _KINDS})
@@ -468,6 +472,12 @@ class CdcRunner:
 
             log = route_df(log, self.routing_mode, self.n_queues).drop("queue")
         stats = apply_batch(self.target, log, stats=batch_stats)
+        # state committed — the batch's writetimes are now APPLIED and may
+        # advance the GC horizon
+        if batch_max_wt is not None and (
+            self._max_writetime is None or batch_max_wt > self._max_writetime
+        ):
+            self._max_writetime = batch_max_wt
         if self.assembly is not None:
             self._refresh_assembly(log)
 
@@ -699,6 +709,12 @@ class CdcRunner:
         the ``_gc`` bookkeeping table."""
         if self.gc_grace_us is None:
             raise ValueError("tombstone GC is disabled; pass gc_grace_us to enable")
+        if self._errored:
+            # quarantined segments hold not-yet-applied events whose
+            # writetimes may sit at or below the current horizon; purging
+            # now could let their later replay (reprocess) out-race a
+            # purged delete. Skip until the quarantine clears.
+            return {"n_purged": 0, "n_kept": 0, "horizon_wt": None}
         if self._max_writetime is None:
             return {"n_purged": 0, "n_kept": 0, "horizon_wt": None}
         horizon = int(self._max_writetime) - int(self.gc_grace_us)

@@ -250,15 +250,23 @@ class CdcStream:
             raise ValueError("finalize_ranges requires unpaired_range_markers=True")
         from pyspark.sql import Window as W
 
+        # identity includes is_start: a start and an end marker sharing one
+        # commit-log position for the same conversation are DIFFERENT
+        # markers — deduping on position alone would drop one of the pair
+        # nondeterministically and mis-pair every later marker of that conv
         ctx = self._range_ctx.read().dropDuplicates(
-            ["conv_id", "segment_id", "position"]
+            ["conv_id", "segment_id", "position", "is_start"]
         )
         if settle_below is not None:
             later = ctx.where(F.col("segment_id") > settle_below)
             ctx = ctx.where(F.col("segment_id") <= settle_below)
         else:
             later = None
-        w = W.partitionBy("conv_id").orderBy("segment_id", "position")
+        # deterministic tie order at a shared position: the start marker
+        # sorts before its end marker (desc on the boolean puts True first)
+        w = W.partitionBy("conv_id").orderBy(
+            "segment_id", "position", F.col("is_start").desc()
+        )
         m = (
             ctx.withColumn("_prev_is_start", F.lag("is_start").over(w))
             .withColumn("_prev_method", F.lag("method").over(w))

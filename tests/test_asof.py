@@ -111,3 +111,18 @@ def test_asof_matches_pandas_merge_asof(spark):
         .reset_index(drop=True)
     )
     assert list(got["asof_v"].fillna("-")) == list(want["v"].fillna("-"))
+
+
+def test_asof_reserved_column_names_raise(spark):
+    """Internal columns (_side, _asof_match) and the match struct's 'ts'
+    field are reserved: a caller column shadowing them used to silently
+    corrupt the side filter / duplicate a struct field."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 1, 10)], "uid long, k long, ts long")
+    right = spark.createDataFrame([(2, 1, 5, 7.0)], "uid long, k long, ts long, v double")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left.withColumn("_side", F.lit(0)), right, ["k"], "ts", ["v"], "uid")
+    with pytest.raises(ValueError, match="'ts'"):
+        asof_join(left, right, ["k"], "ts", ["ts", "v"], "uid")

@@ -238,3 +238,40 @@ def test_mt_runner_gc_sweeps_every_table(spark, tmp_path):
         )
     audit = r.gc_log.read().toPandas()
     assert set(audit["fqtn"]) == {"ks1.a", "ks1.b"}
+
+
+def test_gc_skipped_while_segments_quarantined(spark, tmp_path):
+    """GC must not purge while run(on_error='isolate') holds quarantined
+    segments: their events (writetimes at/below a later horizon) are
+    replayed by reprocess() AFTER the purge would have run, so a purged
+    delete could be out-raced by the replayed upsert (deleted-row
+    resurrection). The guard: gc() is a no-op until the quarantine clears,
+    and the reprocess itself still converges to the full replay."""
+    import os
+
+    from .conftest import assert_state_equal
+    from .oracle import replay
+
+    log = gen_mutation_log(spark, 1200, n_convs=30, events_per_segment=300, seed=93)
+    path = str(tmp_path / "log")
+    write_mutation_log(log, path)
+    bad = os.path.join(path, "segment_id=1", "zz-corrupt.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"not parquet")
+    r = CdcRunner(
+        spark, path, str(tmp_path / "t"), n_buckets=4, segments_per_batch=2,
+        gc_grace_us=0, gc_every_batches=1,  # grace 0: maximally eager purge
+    )
+    r.run(on_error="isolate")
+    assert r.errored_segments() == {1}
+    # the eager GC cadence ran, but every invocation was skipped
+    assert r.gc() == {"n_purged": 0, "n_kept": 0, "horizon_wt": None}
+    assert r.streaming_metrics()["n_tombstones_purged"] == 0
+
+    os.remove(bad)
+    r.reprocess([1])
+    assert r.errored_segments() == set()
+    assert_state_equal(r.target.read_transcripts(), replay(log.toPandas()))
+    # quarantine cleared: GC resumes and the horizon is the applied max
+    res = r.gc()
+    assert res["horizon_wt"] is not None

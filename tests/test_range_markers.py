@@ -211,3 +211,39 @@ def test_malformed_marker_streams_drop(spark):
         (F.col("op") != "r") | F.col("range_start").isNotNull()
     )
     assert pair_range_markers(only_starts).where(F.col("op") == "r").count() == 0
+
+
+def test_start_end_markers_sharing_a_position_both_survive(spark, tmp_path):
+    """A start and end marker can share one commit-log position (one
+    mutation carrying both bounds split into two marker rows). The context
+    dedup key includes is_start, so both survive accumulation, and the
+    pairing window orders the start before its end at the tied position —
+    previously one of the pair was dropped nondeterministically and every
+    later marker of the conversation mis-paired."""
+    from debezium_connector_cassandra_spark.streaming.stream import CdcStream
+
+    log_path = str(tmp_path / "log")
+    ins = [
+        (0, t * 16, "i", "c1", t, 100, ("user", f"m{t}", None, None), None, None)
+        for t in range(1, 11)
+    ]
+    _marker_rows(spark, ins).write.mode("append").partitionBy("segment_id").parquet(log_path)
+    runner = CdcRunner(
+        spark, log_path, str(tmp_path / "t"), n_buckets=4,
+        unpaired_range_markers=True,
+    )
+    stream = CdcStream(runner)
+    SHARED = 1000
+    S1 = (0, SHARED, "r", "c1", None, 200, None, (2, True), None)
+    E1 = (0, SHARED, "r", "c1", None, 200, None, None, (4, True))
+    S2 = (0, 1016, "r", "c1", None, 200, None, (9, True), None)
+    E2 = (0, 1024, "r", "c1", None, 200, None, None, (10, True))
+    # delivered across two micro-batches, shared-position pair split up
+    stream._handle_batch(_marker_rows(spark, ins + [S1, E2]), 0)
+    stream._handle_batch(_marker_rows(spark, [E1, S2]), 1)
+    res = stream.finalize_ranges()
+    assert res["n_paired"] == 2 and res["n_dangling"] == 0
+    alive = sorted(
+        r["turn_idx"] for r in runner.target.read_transcripts().collect()
+    )
+    assert alive == [1, 5, 6, 7, 8]
