@@ -646,21 +646,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         log = derived_log(spark, sf_dir)
         # "pre-existing table" = latest segment-0 INSERT per key
-        seg0 = log.where((F.col("segment_id") == 0) & (F.col("op") == "i"))
+        seg0 = log.where("segment_id = 0 AND op = 'i'")
         src = (
             seg0.groupBy("conv_id", "turn_idx")
-            .agg(F.max(F.struct("writetime", "position", "cells")).alias("w"))
-            .select(
+            .agg(F.expr(
+                "max(named_struct('writetime', writetime, 'position', position, "
+                "'cells', cells)) AS w"
+            ))
+            .selectExpr(
                 "conv_id",
                 "turn_idx",
-                F.col("w.cells.role.value").alias("role"),
-                F.col("w.cells.text.value").alias("text"),
-                F.col("w.cells.tool.value").alias("tool"),
-                F.col("w.cells.ts_us.value").alias("ts_us"),
+                "w.cells.role.value AS role",
+                "w.cells.text.value AS text",
+                "w.cells.tool.value AS tool",
+                "w.cells.ts_us.value AS ts_us",
             )
         )
         snap = snapshot_to_mutations(src, snapshot_writetime=0)
-        stream = log.where((F.col("segment_id") >= 1) & F.col("op").isin("i", "u"))
+        stream = log.where("segment_id >= 1 AND op IN ('i','u')")
         return _state_pipeline(snap.unionByName(stream), payload, ("i", "u"))
 
     q["cdc_snapshot_union"] = cdc_snapshot_union

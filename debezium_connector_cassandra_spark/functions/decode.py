@@ -138,28 +138,45 @@ def with_envelope(
     cells, mirroring RecordMaker.createRecord:61-72. ``keyspace``/``table``
     flow into the SourceInfo struct (multi-table routing identity).
     """
-    cells = F.col("cells")
     if excluded_fields:
-        kept = []
-        for field in df.schema["cells"].dataType.fields:
-            name = field.name
-            if name in excluded_fields:
-                kept.append(
-                    F.when(
-                        F.col("op").isin("i", "u"),
-                        F.lit(None).cast(field.dataType),
-                    ).otherwise(cells[name]).alias(name)
-                )
-            else:
-                kept.append(cells[name].alias(name))
-        cells = F.when(F.col("cells").isNotNull(), F.struct(*kept))
-    return (
-        df.withColumn("ts_ms", (F.col("writetime") / 1000).cast("long"))
-        .withColumn("envelope_op", debezium_op())
-        .withColumn("source", source_struct(cluster=cluster, keyspace=keyspace, table=table))
-        .withColumn("cells", cells)
-        .withColumn("partition_type", partition_type())
-        .withColumn("row_type", row_type())
+        df = df.withColumn(
+            "cells",
+            F.when(
+                F.col("cells").isNotNull(),
+                F.struct(
+                    *[
+                        (
+                            F.when(
+                                F.col("op").isin("i", "u"),
+                                F.lit(None).cast(field.dataType),
+                            )
+                            .otherwise(F.col("cells")[field.name])
+                            if field.name in excluded_fields
+                            else F.col("cells")[field.name]
+                        ).alias(field.name)
+                        for field in df.schema["cells"].dataType.fields
+                    ]
+                ),
+            ),
+        )
+    # one appending selectExpr (a withColumn chain cost ~40 py4j round
+    # trips per construction; identical analyzed schema)
+    return df.selectExpr(
+        "*",
+        "CAST(writetime / 1000 AS BIGINT) AS ts_ms",
+        "CASE WHEN op = 'i' THEN 'c' WHEN op = 'u' THEN 'u' "
+        "WHEN op IN ('d','p') THEN 'd' ELSE 't' END AS envelope_op",
+        f"named_struct('cluster', '{cluster}', "
+        "'file', concat('CommitLog-7-', CAST(segment_id AS STRING), '.log'), "
+        "'pos', position, "
+        f"'keyspace', '{keyspace}', 'table', '{table}', "
+        "'snapshot', snapshot, 'ts_micro', writetime) AS source",
+        "CASE WHEN op = 'p' THEN 'PARTITION_KEY_ROW_DELETION' "
+        "WHEN op = 'r' THEN 'ROW_RANGE_DELETION' "
+        "ELSE 'ROW_LEVEL_MODIFICATION' END AS partition_type",
+        "CASE WHEN op = 'i' THEN 'INSERT' WHEN op = 'u' THEN 'UPDATE' "
+        "WHEN op = 'd' THEN 'DELETE' WHEN op = 'r' THEN 'RANGE_TOMBSTONE' "
+        "WHEN op = 'p' THEN 'PARTITION_DELETE' ELSE 'UNKNOWN' END AS row_type",
     )
 
 
@@ -196,26 +213,26 @@ def explode_batch_mutations(log: DataFrame) -> DataFrame:
             "snapshot",
         )
     ]
-    return log.select(
+    return log.selectExpr(
         "segment_id",
         "position",
         "log_partition",
-        F.col("writetime").alias("_batch_wt"),
-        F.explode("changes").alias("c"),
+        "writetime AS _batch_wt",
+        "explode(changes) AS c",
         "schema_version",
         "snapshot",
         *extra,
-    ).select(
+    ).selectExpr(
         "segment_id",
         "position",
         "log_partition",
-        F.col("c.op").alias("op"),
-        F.col("c.conv_id").alias("conv_id"),
-        F.col("c.turn_idx").alias("turn_idx"),
-        F.coalesce(F.col("c.writetime"), F.col("_batch_wt")).alias("writetime"),
-        F.col("c.cells").alias("cells"),
-        F.col("c.range_start").alias("range_start"),
-        F.col("c.range_end").alias("range_end"),
+        "c.op AS op",
+        "c.conv_id AS conv_id",
+        "c.turn_idx AS turn_idx",
+        "coalesce(c.writetime, _batch_wt) AS writetime",
+        "c.cells AS cells",
+        "c.range_start AS range_start",
+        "c.range_end AS range_end",
         "schema_version",
         "snapshot",
         *extra,

@@ -317,6 +317,14 @@ def merge_states(target: DataFrame, batch: DataFrame) -> DataFrame:
     offers ``validate_unique_writetimes`` as an opt-in check instead of
     widening every state row.
 
+    Join strategy: deliberately left to the planner. Interleaved A/Bs on
+    the apply pipeline tested (a) session-wide preferSortMergeJoin=false +
+    AQE shuffled-hash rewrite and (b) a SHUFFLE_HASH hint on the target
+    side; both measured NO robust win over the default here, and the
+    session-wide preference measurably HURT the read-side state queries
+    (their tombstone joins want the planner's broadcast choice), so the
+    default stands.
+
     The batch's per-key kill writetime is applied to the target side INSIDE
     the merge join — no separate row-tombstone join against the target.
     Per column the side with the strictly higher surviving cell writetime

@@ -103,28 +103,27 @@ def assemble_transcripts(
     semantics, SURVEY §2 D7/D8).  ``role_col=None`` emits bare text
     lines (tables without a role column)."""
     if role_col is None:
-        line = F.coalesce(F.col(text_col), F.lit(""))
+        line = f"coalesce({text_col}, '')"
     else:
-        line = F.concat(
-            F.coalesce(F.col(role_col), F.lit("?")),
-            F.lit(": "),
-            F.coalesce(F.col(text_col), F.lit("")),
-        )
+        line = f"concat(coalesce({role_col}, '?'), ': ', coalesce({text_col}, ''))"
+    sep_sql = sep.replace("\\", "\\\\").replace("'", "\\'")
+    # SQL-string projection/aggregation (single py4j round trips — see
+    # operators/lww.py)
     return (
-        state.select(
-            F.col(conv_col).alias("conv_id"),
-            F.col(turn_col).alias("turn_idx"),
-            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_tc"),
-            F.struct(F.col(turn_col).alias("t"), line.alias("line")).alias("_e"),
+        state.selectExpr(
+            f"{conv_col} AS conv_id",
+            f"{turn_col} AS turn_idx",
+            f"length(coalesce({text_col}, '')) AS _tc",
+            f"named_struct('t', {turn_col}, 'line', {line}) AS _e",
         )
         .groupBy("conv_id")
         .agg(
-            F.count("*").alias("n_turns"),
-            F.max("turn_idx").alias("last_turn"),
-            F.sum("_tc").alias("total_chars"),
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("_e")), lambda x: x["line"]),
-                sep,
-            ).alias("transcript"),
+            F.expr("count(*) AS n_turns"),
+            F.expr("max(turn_idx) AS last_turn"),
+            F.expr("sum(_tc) AS total_chars"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(_e)), "
+                f"x -> x.line), '{sep_sql}') AS transcript"
+            ),
         )
     )

@@ -239,50 +239,53 @@ def apply_batch(
         )
 
     # --- kill + merge target (only touched buckets are read/rewritten)
-    if target.state.is_empty():
-        merged = drop_invisible(batch_state)
-    else:
-        tgt = target.state.read(buckets=bucket_ids)
-        if new_tombs.partition is not None or new_tombs.range is not None:
-            # conv-grain kills for target keys absent from the batch
-            tgt = kill_state(tomb_wt_for_keys(tgt, pr_tombs, keys_unique=True))
-        merged = merge_states(tgt, batch_state)
-
-    if bucket_ids:
-        new_version = target.state.overwrite_buckets(merged, bucket_ids)
-    else:
-        new_version = target.state.current_version()
-    _mark("merge+cow-write")
-
-    # --- persist new tombstones for future out-of-order batches -------
-    if n_tombs:
-        d_rows = (
-            reduced.where(F.col("_d_wt").isNotNull()).select(
-                F.lit("d").alias("kind"),
-                "conv_id",
-                F.col("turn_idx").alias("lo"),
-                F.col("turn_idx").alias("hi"),
-                F.lit(True).alias("lo_incl"),
-                F.lit(True).alias("hi_incl"),
-                F.col("_d_wt").alias("wt"),
-            )
-            if kind_counts["d"]
-            else None
-        )
-        tomb_rows = tombstones_to_rows(new_tombs, extra=d_rows)
-        if n_tombs <= 20_000:
-            # driver-side flush, no Spark job (offset-flush analog)
-            target.tombstones.append_small([r.asDict() for r in tomb_rows.collect()])
+    try:
+        if target.state.is_empty():
+            merged = drop_invisible(batch_state)
         else:
-            target.tombstones.append(tomb_rows)
-    _mark("tombstone-append")
+            tgt = target.state.read(buckets=bucket_ids)
+            if new_tombs.partition is not None or new_tombs.range is not None:
+                # conv-grain kills for target keys absent from the batch
+                tgt = kill_state(tomb_wt_for_keys(tgt, pr_tombs, keys_unique=True))
+            merged = merge_states(tgt, batch_state)
 
-    return {
-        "n_events": n_events,
-        "n_buckets_rewritten": len(bucket_ids),
-        "n_new_tombstones": n_tombs,
-        "state_version": new_version,
-    }
+        if bucket_ids:
+            new_version = target.state.overwrite_buckets(merged, bucket_ids)
+        else:
+            new_version = target.state.current_version()
+        _mark("merge+cow-write")
+
+        # --- persist new tombstones for future out-of-order batches -------
+        if n_tombs:
+            d_rows = (
+                reduced.where(F.col("_d_wt").isNotNull()).select(
+                    F.lit("d").alias("kind"),
+                    "conv_id",
+                    F.col("turn_idx").alias("lo"),
+                    F.col("turn_idx").alias("hi"),
+                    F.lit(True).alias("lo_incl"),
+                    F.lit(True).alias("hi_incl"),
+                    F.col("_d_wt").alias("wt"),
+                )
+                if kind_counts["d"]
+                else None
+            )
+            tomb_rows = tombstones_to_rows(new_tombs, extra=d_rows)
+            if n_tombs <= 20_000:
+                # driver-side flush, no Spark job (offset-flush analog)
+                target.tombstones.append_small([r.asDict() for r in tomb_rows.collect()])
+            else:
+                target.tombstones.append(tomb_rows)
+        _mark("tombstone-append")
+
+        return {
+            "n_events": n_events,
+            "n_buckets_rewritten": len(bucket_ids),
+            "n_new_tombstones": n_tombs,
+            "state_version": new_version,
+        }
+    finally:
+        reduced.unpersist()
 
 
 def gc_tombstones(target: CdcTarget, writetime_horizon: int) -> dict:
