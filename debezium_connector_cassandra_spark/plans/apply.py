@@ -192,27 +192,32 @@ def apply_batch(
         batch, kinds=tuple(k for k in ("p", "r") if kind_counts.get(k))
     )  # 'd' is folded into the reduction, never joined
 
-    # --- touched buckets: ONE narrow bounded job -----------------------
+    # --- touched buckets -----------------------------------------------
     # Distinct (state bucket, tombstone-store bucket) pairs over every
     # conv_id the batch touches — upsert/delete keys AND partition/range
-    # tombstone targets are all just the batch's conv_ids. One
-    # column-pruned scan with map-side-combined distinct; the result is
-    # bounded by the bucket-count product, safe to collect. This
-    # replaces two separate jobs that each materialized the full-width
-    # key reduction (and its in-memory cache) just to enumerate buckets.
-    from ..lake.table import bucket_expr
+    # tombstone targets are all just the batch's conv_ids. The runner
+    # folds the pairs into its narrow pre-scan (``stats["bucket_pairs"]``,
+    # a bounded collect_set) so the steady-state loop never runs a
+    # discovery job; direct callers fall back to one column-pruned
+    # map-side-combined distinct, bounded by the bucket-count product.
+    # This replaces two separate jobs that each materialized the
+    # full-width key reduction just to enumerate buckets.
+    pairs = stats.get("bucket_pairs") if isinstance(stats, dict) else None
+    if pairs is None:
+        from ..lake.table import bucket_expr
 
-    state_m = target.state.manifest()
-    store_m = target.tombstones.manifest()
-    pairs = (
-        batch.select(
-            bucket_expr(state_m["key_col"], state_m["n_buckets"]).alias("_sb"),
-            bucket_expr(store_m["key_col"], store_m["n_buckets"]).alias("_tb"),
-        )
-        .distinct()
-        .collect()
-    )
-    bucket_ids = sorted({r["_sb"] for r in pairs})
+        state_m = target.state.manifest()
+        store_m = target.tombstones.manifest()
+        pairs = [
+            (r["_sb"], r["_tb"])
+            for r in batch.select(
+                bucket_expr(state_m["key_col"], state_m["n_buckets"]).alias("_sb"),
+                bucket_expr(store_m["key_col"], store_m["n_buckets"]).alias("_tb"),
+            )
+            .distinct()
+            .collect()
+        ]
+    bucket_ids = sorted({sb for sb, _ in pairs})
     _mark("touched-buckets")
 
     # --- per-key reduction (i/u/d in ONE hash agg) ---------------------
@@ -228,7 +233,7 @@ def apply_batch(
     else:
         # the tombstone store is bucketed by conv_id too — read only the
         # buckets the batch's conversations hash into
-        store_buckets = sorted({r["_tb"] for r in pairs})
+        store_buckets = sorted({tb for _, tb in pairs})
         stored = rows_to_tombstones(target.tombstones.read(buckets=store_buckets))
         join_tombs = union_tombstones(pr_tombs, stored)
     if join_tombs.row is None and join_tombs.partition is None and join_tombs.range is None:

@@ -409,9 +409,21 @@ class CdcRunner:
             else F.lit(False)
         )
 
-        # ONE narrow pre-scan job (4 pruned columns): per-segment offsets +
-        # lineage stats AND the global op-kind counts apply_batch needs —
-        # folded so the batch is never scanned a third time
+        # ONE narrow pre-scan job (5 pruned columns): per-segment offsets +
+        # lineage stats, the global op-kind counts apply_batch needs, AND
+        # the touched (state bucket, tombstone-store bucket) pairs — folded
+        # so the batch is scanned exactly once before the reduction. The
+        # collect_set is bounded by the bucket-count product per group
+        # (tombstone-store buckets derive from the state count), never by
+        # event count.
+        state_m = self.target.state.manifest()
+        store_m = self.target.tombstones.manifest()
+        bucket_pair = (
+            f"named_struct('sb', CAST(pmod(xxhash64({state_m['key_col']}), "
+            f"{state_m['n_buckets']}) AS INT), "
+            f"'tb', CAST(pmod(xxhash64({store_m['key_col']}), "
+            f"{store_m['n_buckets']}) AS INT))"
+        )
         seg_rows = (
             log.groupBy("segment_id", "log_partition")
             .agg(
@@ -423,6 +435,7 @@ class CdcRunner:
                     F.sum(((F.col("op") == k) & ~is_unsup).cast("long")).alias(f"n_{k}")
                     for k in _KINDS
                 ],
+                F.expr(f"collect_set({bucket_pair}) AS bucket_pairs"),
             )
             .collect()
         )
@@ -440,6 +453,11 @@ class CdcRunner:
         n_skipped = sum(r["n_unsup"] for r in seg_rows)
         batch_stats = {"n": n_decoded - n_skipped}
         batch_stats.update({k: sum(r[f"n_{k}"] for r in seg_rows) for k in _KINDS})
+        # touched-bucket superset (skipped-kind rows may add buckets; extra
+        # buckets only cost an idempotent rewrite, never correctness)
+        batch_stats["bucket_pairs"] = sorted(
+            {(p["sb"], p["tb"]) for r in seg_rows for p in r["bucket_pairs"]}
+        )
         if has_kind:
             log = log.where(~is_unsup).drop("table_kind")
 
