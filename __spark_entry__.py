@@ -1461,7 +1461,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # training-data pipeline operators (documents / embeddings tables)
     # ======================================================================
     def _docs(spark, sf_dir):
-        return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        # single-file parquet = one scan partition: cache a repartitioned
+        # relation per (session, sf_dir) so the tokenization/shingling HOF
+        # map sides parallelize (docs queries key on doc_id/shingle grain —
+        # high cardinality, so unlike the CDC key space extra partitions
+        # cost no partial-aggregation collapse; see _flat_log)
+        key = (id(spark), sf_dir, "docs")
+        cached = _FLAT_CACHE.get(key)
+        if cached is None:
+            cached = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text")
+                .repartition(spark.sparkContext.defaultParallelism)
+                .persist()
+            )
+            _FLAT_CACHE[key] = cached
+        return cached
 
     def _corpus(spark, sf_dir):
         """documents + injected exact dups + near-dups (deterministic)."""
@@ -1476,7 +1491,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.unionByName(dups).unionByName(near)
 
     def _embs(spark, sf_dir):
-        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        key = (id(spark), sf_dir, "embs")
+        cached = _FLAT_CACHE.get(key)
+        if cached is None:
+            cached = (
+                spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .repartition(spark.sparkContext.defaultParallelism)
+                .persist()
+            )
+            _FLAT_CACHE[key] = cached
+        return cached
 
     def docs_dedup_exact(spark, sf_dir):
         from debezium_connector_cassandra_spark.operators.text_dedup import exact_dedup

@@ -158,9 +158,27 @@ def _top_bigram(t: Column):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_bi = F.array_max(
-        F.transform(F.array_distinct(bigrams), lambda g: _occ(bigrams, g))
+    # max occurrence count = longest run in the SORTED array: O(B log B + B)
+    # instead of the count-each-distinct-against-all formulation, which is
+    # O(B^2) interpreted-lambda comparisons per row — at the 2000-bigram cap
+    # that was 4M comparisons per document (measured 170s for the corpus
+    # pass; this form takes ~2s). NULL on no bigrams, as array_max was.
+    run_scan = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
+    top_bi = F.when(F.size(bigrams) > 0, run_scan)
     return top_bi, n_bi
 
 
