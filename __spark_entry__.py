@@ -508,8 +508,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         log = derived_log(spark, sf_dir)
-        before = state_asof(log, writetime_horizon_value(log, 3, 4), payload)
-        after = _state_pipeline(log, payload, ("i", "u", "d", "p", "r"))
+        # before/after each feed TWO consumers (diff + assembly / diff +
+        # touched-recompute): materialized once, as production reads them
+        # from lake tables (see docstring note above)
+        before = state_asof(log, writetime_horizon_value(log, 3, 4), payload).localCheckpoint()
+        after = _state_pipeline(log, payload, ("i", "u", "d", "p", "r")).localCheckpoint()
         diff = snapshot_diff(before, after, ["conv_id", "turn_idx"], payload)
         return incremental_transcripts(assemble_transcripts(before), after, diff)
 
