@@ -8,7 +8,7 @@ except one-time fixture builds a query performs at construction.
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "before"
 ONLY = sys.argv[2:]

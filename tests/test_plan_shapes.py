@@ -227,9 +227,18 @@ def test_frame_sample_is_map_only(spark, queries):
     generate plan — frame sampling runs at scan speed, no exchange, no
     Python, no join."""
     plan = _plan(spark, queries["mm_frame_sample"](spark, SF_DIR))
+    # scope to the executed operators above the cached-source leaf: the
+    # InMemoryRelation prints its stored build plan, which carries the
+    # one-time cache repartition Exchange (see decode-envelope pin)
+    executed = plan
+    if "InMemoryRelation" in plan:
+        executed = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in executed
     for op in ("Exchange", "Join", "Aggregate", "Window", "InPandas"):
-        assert op not in plan, op
-    assert _count(plan, "Generate") == 1
+        assert op not in executed, op
+    # the Generate node sits in the executed tree; count it there (the
+    # numbered-details section may be below the truncation point)
+    assert executed.count("Generate") == 1
 
 
 def test_asof_join_is_joinless(spark, queries):
