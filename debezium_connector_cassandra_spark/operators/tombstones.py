@@ -152,7 +152,9 @@ def pair_range_markers(log: DataFrame) -> DataFrame:
 
 def range_covers(lo, hi, lo_incl, hi_incl, turn) -> "F.Column":
     """Bound predicate with inclusivity methods (reference RangeData bound
-    kinds, CassandraSchemaFactory.java:347-423)."""
+    kinds, CassandraSchemaFactory.java:347-423). The hot path
+    (``tomb_wt_for_keys``) inlines this predicate as a SQL string — one
+    py4j round trip; this Column form is the reusable public twin."""
     above = F.when(lo_incl, turn >= lo).otherwise(turn > lo)
     below = F.when(hi_incl, turn <= hi).otherwise(turn < hi)
     return above & below
