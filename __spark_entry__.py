@@ -165,6 +165,32 @@ def _dedup_stream_fixture(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _input_bytes(path: str) -> int:
+    """Size of a parquet file or directory (driver-side, no Spark job)."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def _cache_partitions(spark: SparkSession, path: str, dense_keys: bool) -> int:
+    """Partition count for a persisted input cache, adaptive in BOTH
+    directions: floor-ed by core count (full parallelism for
+    high-cardinality grains; parallelism/8 for the dense CDC key space,
+    where each extra partition multiplies partial-aggregation output —
+    see the repartition note in _flat_log) and raised by input size
+    (~64 MB of source parquet per partition) so a larger driver-generated
+    scale factor never concentrates into a handful of fat partitions."""
+    par = spark.sparkContext.defaultParallelism
+    by_cores = max(2, par // 8) if dense_keys else par
+    by_bytes = _input_bytes(path) // (64 << 20)
+    return max(by_cores, by_bytes)
+
+
 def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     cached = _FLAT_CACHE.get(key)
@@ -184,7 +210,7 @@ def _flat_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapsed). Derived from the session's core count, never a constant.
     df = (
         spark.sql(_derive_sql(_SPARK) + "SELECT * FROM m")
-        .repartition(max(2, spark.sparkContext.defaultParallelism // 8))
+        .repartition(_cache_partitions(spark, f"{sf_dir}/events.parquet", dense_keys=True))
         .persist()
     )
     _FLAT_CACHE[key] = df
@@ -620,7 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # collapse tradeoff as the derived-log cache (see _flat_log)
             (
                 pack_batches(log, group_size=4, position_stride=16)
-                .repartition(max(2, spark.sparkContext.defaultParallelism // 8))
+                .repartition(_cache_partitions(spark, f"{sf_dir}/events.parquet", dense_keys=True))
                 .write.parquet(path)
             )
             batched = spark.read.parquet(path)
@@ -1475,7 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cached = (
                 spark.read.parquet(f"{sf_dir}/documents.parquet")
                 .select("doc_id", "text")
-                .repartition(spark.sparkContext.defaultParallelism)
+                .repartition(_cache_partitions(spark, f"{sf_dir}/documents.parquet", dense_keys=False))
                 .persist()
             )
             _FLAT_CACHE[key] = cached
@@ -1499,7 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if cached is None:
             cached = (
                 spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-                .repartition(spark.sparkContext.defaultParallelism)
+                .repartition(_cache_partitions(spark, f"{sf_dir}/embeddings.parquet", dense_keys=False))
                 .persist()
             )
             _FLAT_CACHE[key] = cached
